@@ -1,0 +1,37 @@
+"""Test configuration: run on CPU with 8 virtual devices.
+
+Multi-chip TPU hardware is unavailable in CI; sharding/pjit tests run
+against a virtual 8-device CPU mesh (`xla_force_host_platform_device_count`).
+
+Note: the environment's sitecustomize may import jax and register a TPU
+backend at interpreter startup, so env-var-only platform selection is too
+late here. The CPU backend still initializes lazily, so we set XLA_FLAGS
+before touching it and then route everything to CPU via jax_default_device.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+try:
+    _cpus = jax.devices("cpu")
+    jax.config.update("jax_default_device", _cpus[0])
+except Exception:  # pragma: no cover - cpu backend always exists
+    pass
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def cpu_devices():
+    return jax.devices("cpu")
