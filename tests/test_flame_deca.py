@@ -1,0 +1,166 @@
+"""FLAME/LBS parity vs reference goldens + DECA facade tests."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stylegan_directions_face_reenactment_tpu.models.deca import (
+    lbs, vertices2landmarks, flame_forward, synthetic_flame_params,
+    find_dynamic_lmk_idx, init_deca, deca_encode, deca_decode,
+    calculate_shape, extract_deca_params, calculate_shapemodel,
+    decompose_code, init_resnet_encoder, resnet_encoder_forward,
+    init_detail_generator, detail_generator_forward, N_PARAM,
+)
+from stylegan_directions_face_reenactment_tpu.geometry import batch_rodrigues
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "flame.npz")
+
+
+@pytest.fixture(scope="module")
+def g():
+    if not os.path.exists(GOLDEN):
+        pytest.skip("flame goldens not generated")
+    return np.load(GOLDEN)
+
+
+def test_batch_rodrigues_parity(g):
+    got = np.asarray(batch_rodrigues(jnp.asarray(g["aa"])))
+    np.testing.assert_allclose(got, g["rod"], rtol=1e-5, atol=1e-6)
+
+
+def test_lbs_parity(g):
+    verts, joints = lbs(jnp.asarray(g["betas"]), jnp.asarray(g["full_pose"]),
+                        jnp.asarray(g["v_template"]), jnp.asarray(g["shapedirs"]),
+                        jnp.asarray(g["posedirs"]), jnp.asarray(g["j_regressor"]),
+                        jnp.asarray(g["lbs_weights"]))
+    np.testing.assert_allclose(np.asarray(verts), g["verts"], rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(joints), g["joints"], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_vertices2landmarks_parity(g):
+    lmks = vertices2landmarks(jnp.asarray(g["verts"]), jnp.asarray(g["faces"]),
+                              jnp.asarray(g["lmk_faces_idx"]),
+                              jnp.asarray(g["lmk_bary"]))
+    np.testing.assert_allclose(np.asarray(lmks), g["lmks"], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_dynamic_lmk_parity(g):
+    idx, bary = find_dynamic_lmk_idx(jnp.asarray(g["full_pose"]),
+                                     jnp.asarray(g["dyn_faces"]),
+                                     jnp.asarray(g["dyn_bary"]))
+    np.testing.assert_array_equal(np.asarray(idx), g["dyn_idx_sel"])
+    np.testing.assert_allclose(np.asarray(bary), g["dyn_bary_sel"], rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# FLAME forward / DECA facade (synthetic params; structure + differentiability)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def flame_params():
+    return synthetic_flame_params(jax.random.PRNGKey(0))
+
+
+def test_flame_forward_shapes(flame_params):
+    b = 3
+    verts, lm2d, lm3d = flame_forward(
+        flame_params,
+        jax.random.normal(jax.random.PRNGKey(1), (b, 100)) * 0.3,
+        jax.random.normal(jax.random.PRNGKey(2), (b, 50)) * 0.3,
+        jax.random.normal(jax.random.PRNGKey(3), (b, 6)) * 0.2)
+    assert verts.shape == (b, 256, 3)
+    assert lm2d.shape == (b, 68, 3)
+    assert lm3d.shape == (b, 68, 3)
+    assert np.isfinite(np.asarray(verts)).all()
+
+
+def test_flame_grad_flows_to_pose(flame_params):
+    def loss(pose):
+        v, _, _ = flame_forward(
+            flame_params, jnp.zeros((1, 100)), jnp.zeros((1, 50)), pose)
+        return jnp.sum(v ** 2)
+
+    gp = jax.grad(loss)(jnp.full((1, 6), 0.1))
+    assert np.isfinite(np.asarray(gp)).all()
+    assert float(jnp.abs(gp).sum()) > 0
+
+
+def test_decompose_code():
+    code = jnp.arange(2 * N_PARAM, dtype=jnp.float32).reshape(2, N_PARAM)
+    d = decompose_code(code)
+    assert d["shape"].shape == (2, 100)
+    assert d["tex"].shape == (2, 50)
+    assert d["exp"].shape == (2, 50)
+    assert d["pose"].shape == (2, 6)
+    assert d["cam"].shape == (2, 3)
+    assert d["light"].shape == (2, 9, 3)
+    np.testing.assert_allclose(np.asarray(d["pose"][0]),
+                               np.arange(200, 206, dtype=np.float32))
+
+
+@pytest.fixture(scope="module")
+def deca_params(flame_params):
+    return init_deca(jax.random.PRNGKey(4), flame_params, with_detail=True)
+
+
+def test_deca_encode_decode(deca_params):
+    imgs = jax.random.uniform(jax.random.PRNGKey(5), (2, 224, 224, 3))
+    code = deca_encode(deca_params, imgs)
+    assert code["pose"].shape == (2, 6)
+    lm2d, lm3d, tverts = deca_decode(deca_params, code)
+    assert lm2d.shape == (2, 68, 2)
+    assert lm3d.shape == (2, 68, 3)
+    assert tverts.shape == (2, 256, 3)
+    assert np.isfinite(np.asarray(lm2d)).all()
+    assert np.isfinite(np.asarray(tverts)).all()
+
+
+def test_calculate_shape_coefficient_dict(deca_params):
+    coeffs = {"shape": jnp.zeros((2, 100)), "exp": jnp.zeros((2, 50)),
+              "pose": jnp.zeros((2, 6)),
+              "cam": jnp.tile(jnp.asarray([[8.0, 0, 0]]), (2, 1))}
+    lm2d, lm3d, tverts = calculate_shape(deca_params, coeffs)
+    assert np.isfinite(np.asarray(lm2d)).all()
+
+
+def test_extract_deca_params_batched(deca_params):
+    imgs = jax.random.uniform(jax.random.PRNGKey(6), (3, 224, 224, 3))
+    p, shp, exp, angles, cam = extract_deca_params(deca_params, imgs)
+    assert p.shape == (3, 6) and shp.shape == (3, 100)
+    assert exp.shape == (3, 50) and angles.shape == (3, 3) and cam.shape == (3, 3)
+
+
+def test_calculate_shapemodel_gan_range(deca_params):
+    imgs = jax.random.uniform(jax.random.PRNGKey(7), (2, 224, 224, 3),
+                              minval=-1, maxval=1)
+    out, angles = calculate_shapemodel(deca_params, imgs, image_space="gan")
+    assert set(out) == {"pose", "alpha_shp", "alpha_exp", "cam"}
+    assert angles.shape == (2, 3)
+
+
+def test_deca_end_to_end_grad_to_image(deca_params):
+    # the critical training-path property: d(landmarks)/d(image) exists
+    imgs = jax.random.uniform(jax.random.PRNGKey(8), (1, 224, 224, 3))
+
+    def loss(im):
+        code = deca_encode(deca_params, im)
+        lm2d, _, tv = deca_decode(deca_params, code)
+        return jnp.sum(lm2d ** 2) + jnp.sum(tv ** 2)
+
+    gi = jax.grad(loss)(imgs)
+    assert np.isfinite(np.asarray(gi)).all()
+    assert float(jnp.abs(gi).sum()) > 0
+
+
+def test_detail_generator_shape():
+    p = init_detail_generator(jax.random.PRNGKey(0))
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 128 + 53))
+    out = detail_generator_forward(p, z)
+    assert out.shape == (2, 256, 256, 1)
+    assert float(jnp.abs(out).max()) <= 0.01 + 1e-6
