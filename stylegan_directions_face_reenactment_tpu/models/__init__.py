@@ -10,3 +10,7 @@ from .stylegan2 import (init_generator, generator_forward, mapping, synthesis,
                         init_discriminator, discriminator_forward,
                         init_wplus_encoder, wplus_encoder_forward)
 from .direction_matrix import init_direction_matrix, direction_matrix_forward
+from .e4e import (init_e4e_encoder, e4e_forward, init_gradual_style_encoder,
+                  gradual_style_encoder_forward, init_backbone_encoder_into_w,
+                  backbone_encoder_into_w_forward)
+from .irse import init_backbone, backbone_forward

@@ -1,0 +1,241 @@
+"""FAN landmark network — 4-stack hourglass → 68 heatmaps (+depth net).
+
+Functional equivalent of `libs/face_models/fan_model/models.py` (reference):
+ConvBlock (dense residual with 3 BN-ReLU-conv stages concatenated),
+recursive HourGlass (depth 4), the 4-module FAN stack and the ResNetDepth
+3D-landmark depth regressor.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from ..nn import (avg_pool2d, batch_norm, conv2d, linear, max_pool2d, relu,
+                  upsample_nearest)
+
+Params = Dict[str, Any]
+
+
+def _conv_init(key, kh, kw, cin, cout):
+    n = kh * kw * cout
+    return jax.random.normal(key, (kh, kw, cin, cout), jnp.float32) * math.sqrt(2.0 / n)
+
+
+def _bn_init(c):
+    return {"scale": jnp.ones((c,), jnp.float32),
+            "offset": jnp.zeros((c,), jnp.float32),
+            "mean": jnp.zeros((c,), jnp.float32),
+            "var": jnp.ones((c,), jnp.float32)}
+
+
+def init_conv_block(key, in_planes: int, out_planes: int) -> Params:
+    k = jax.random.split(key, 4)
+    p: Params = {
+        "bn1": _bn_init(in_planes),
+        "conv1": _conv_init(k[0], 3, 3, in_planes, out_planes // 2),
+        "bn2": _bn_init(out_planes // 2),
+        "conv2": _conv_init(k[1], 3, 3, out_planes // 2, out_planes // 4),
+        "bn3": _bn_init(out_planes // 4),
+        "conv3": _conv_init(k[2], 3, 3, out_planes // 4, out_planes // 4),
+    }
+    if in_planes != out_planes:
+        p["downsample"] = {"bn": _bn_init(in_planes),
+                           "conv": _conv_init(k[3], 1, 1, in_planes, out_planes)}
+    return p
+
+
+def conv_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Dense residual block (`fan_model/models.py:13-55`)."""
+    out1 = conv2d(relu(batch_norm(x, p["bn1"])), p["conv1"], padding=1)
+    out2 = conv2d(relu(batch_norm(out1, p["bn2"])), p["conv2"], padding=1)
+    out3 = conv2d(relu(batch_norm(out2, p["bn3"])), p["conv3"], padding=1)
+    out = jnp.concatenate([out1, out2, out3], axis=-1)
+    if "downsample" in p:
+        res = conv2d(relu(batch_norm(x, p["downsample"]["bn"])),
+                     p["downsample"]["conv"])
+    else:
+        res = x
+    return out + res
+
+
+def init_hourglass(key, depth: int = 4, features: int = 256) -> Params:
+    """Recursive hourglass (`fan_model/models.py:98-142`). Stored per level:
+    b1, b2, b3 (+ b2_plus at level 1)."""
+    levels = {}
+    keys = jax.random.split(key, depth * 4)
+    ki = 0
+    for level in range(depth, 0, -1):
+        entry = {"b1": init_conv_block(keys[ki], features, features),
+                 "b2": init_conv_block(keys[ki + 1], features, features),
+                 "b3": init_conv_block(keys[ki + 2], features, features)}
+        if level == 1:
+            entry["b2_plus"] = init_conv_block(keys[ki + 3], features, features)
+        levels[str(level)] = entry
+        ki += 4
+    return {"levels": levels, "depth": depth}
+
+
+def hourglass(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    def recurse(level, inp):
+        lv = p["levels"][str(level)]
+        up1 = conv_block(lv["b1"], inp)
+        low1 = conv_block(lv["b2"], avg_pool2d(inp, 2, stride=2))
+        if level > 1:
+            low2 = recurse(level - 1, low1)
+        else:
+            low2 = conv_block(lv["b2_plus"], low1)
+        low3 = conv_block(lv["b3"], low2)
+        return up1 + upsample_nearest(low3, 2)
+
+    return recurse(p["depth"], x)
+
+
+def init_fan(key, num_modules: int = 4) -> Params:
+    keys = jax.random.split(key, 6 + num_modules * 6)
+    ki = iter(range(len(keys)))
+    p: Params = {
+        "conv1": {"weight": _conv_init(keys[next(ki)], 7, 7, 3, 64),
+                  "bias": jnp.zeros((64,), jnp.float32)},
+        "bn1": _bn_init(64),
+        "conv2": init_conv_block(keys[next(ki)], 64, 128),
+        "conv3": init_conv_block(keys[next(ki)], 128, 128),
+        "conv4": init_conv_block(keys[next(ki)], 128, 256),
+        "modules": [],
+        "meta": {"num_modules": num_modules},
+    }
+    for m in range(num_modules):
+        mod = {
+            "hg": init_hourglass(keys[next(ki)]),
+            "top_m": init_conv_block(keys[next(ki)], 256, 256),
+            "conv_last": {"weight": _conv_init(keys[next(ki)], 1, 1, 256, 256),
+                          "bias": jnp.zeros((256,), jnp.float32)},
+            "bn_end": _bn_init(256),
+            "l": {"weight": _conv_init(keys[next(ki)], 1, 1, 256, 68),
+                  "bias": jnp.zeros((68,), jnp.float32)},
+        }
+        if m < num_modules - 1:
+            mod["bl"] = {"weight": _conv_init(keys[next(ki)], 1, 1, 256, 256),
+                         "bias": jnp.zeros((256,), jnp.float32)}
+            mod["al"] = {"weight": _conv_init(keys[next(ki)], 1, 1, 68, 256),
+                         "bias": jnp.zeros((256,), jnp.float32)}
+        p["modules"].append(mod)
+    return p
+
+
+def fan_forward(p: Params, x: jnp.ndarray) -> List[jnp.ndarray]:
+    """x (B, 256, 256, 3) in [0,1] → list of (B, 64, 64, 68) heatmaps, one
+    per stacked module (`fan_model/models.py:174-202`); use the last."""
+    x = relu(batch_norm(conv2d(x, p["conv1"]["weight"], p["conv1"]["bias"],
+                               stride=2, padding=3), p["bn1"]))
+    x = avg_pool2d(conv_block(p["conv2"], x), 2, stride=2)
+    x = conv_block(p["conv3"], x)
+    x = conv_block(p["conv4"], x)
+
+    previous = x
+    outputs = []
+    for i, mod in enumerate(p["modules"]):
+        hg = hourglass(mod["hg"], previous)
+        ll = conv_block(mod["top_m"], hg)
+        ll = relu(batch_norm(conv2d(ll, mod["conv_last"]["weight"],
+                                    mod["conv_last"]["bias"]), mod["bn_end"]))
+        tmp_out = conv2d(ll, mod["l"]["weight"], mod["l"]["bias"])
+        outputs.append(tmp_out)
+        if i < p["meta"]["num_modules"] - 1:
+            ll2 = conv2d(ll, mod["bl"]["weight"], mod["bl"]["bias"])
+            tmp2 = conv2d(tmp_out, mod["al"]["weight"], mod["al"]["bias"])
+            previous = previous + ll2 + tmp2
+    return outputs
+
+
+# ---------------------------------------------------------------------------
+# Heatmap → landmark coordinates (vectorized)
+# ---------------------------------------------------------------------------
+
+def heatmaps_to_landmarks(hm: jnp.ndarray) -> jnp.ndarray:
+    """(B, 64, 64, 68) heatmaps → (B, 68, 2) sub-pixel peak coords in
+    heatmap units, replacing the per-landmark python loops of
+    `landmarks_estimation.py:50-88` with gathers.
+
+    Matches the reference: argmax (+1-based), ±0.25px sign-of-gradient
+    refinement for interior peaks, then −0.5.
+    """
+    b, h, w, n = hm.shape
+    hm_t = hm.transpose(0, 3, 1, 2)                    # (B, 68, H, W)
+    flat = hm_t.reshape(b, n, h * w)
+    idx = jnp.argmax(flat, axis=-1)                    # 0-based
+    px = (idx % w).astype(jnp.int32)                   # 0-based x
+    py = (idx // w).astype(jnp.int32)                  # 0-based y
+
+    def gather(dy, dx):
+        yy = jnp.clip(py + dy, 0, h - 1)
+        xx = jnp.clip(px + dx, 0, w - 1)
+        lin = yy * w + xx
+        return jnp.take_along_axis(flat, lin[..., None], axis=-1)[..., 0]
+
+    diff_x = gather(0, 1) - gather(0, -1)
+    diff_y = gather(1, 0) - gather(-1, 0)
+    interior = ((px > 0) & (px < w - 1) & (py > 0) & (py < h - 1))
+
+    fx = px.astype(jnp.float32) + 1.0   # reference works 1-based
+    fy = py.astype(jnp.float32) + 1.0
+    fx = fx + jnp.where(interior, jnp.sign(diff_x) * 0.25, 0.0)
+    fy = fy + jnp.where(interior, jnp.sign(diff_y) * 0.25, 0.0)
+    return jnp.stack([fx - 0.5, fy - 0.5], axis=-1)
+
+
+def landmarks_to_image_coords(pts: jnp.ndarray, center: jnp.ndarray,
+                              scale: jnp.ndarray,
+                              resolution: float = 64.0) -> jnp.ndarray:
+    """Map heatmap-frame points back to original-image coords — the inverse
+    of the 200·scale crop transform (`fan_model/utils.py:63-97`).
+
+    pts: (B, 68, 2) 1-based heatmap coords; center (B, 2); scale (B,).
+    The reference floors to int (``.int()``); we keep floats and let the
+    caller round, matching within a pixel.
+    """
+    h = 200.0 * scale[:, None, None]
+    return (pts / resolution) * h + (center[:, None, :] - h / 2.0)
+
+
+def init_resnet_depth(key, layers=(3, 8, 36, 3), num_classes: int = 68) -> Params:
+    """ResNetDepth (`fan_model/models.py:205-265`) for 3D landmark depth."""
+    from ..deca.resnet import _init_bottleneck
+    keys = jax.random.split(key, sum(layers) + 3)
+    ki = iter(range(len(keys)))
+    p: Params = {
+        "conv1": _conv_init(keys[next(ki)], 7, 7, 3 + 68, 64),
+        "bn1": _bn_init(64),
+        "layers": [],
+    }
+    cin = 64
+    for li, (blocks, planes, stride) in enumerate(
+            zip(layers, (64, 128, 256, 512), (1, 2, 2, 2))):
+        stage = []
+        for bi in range(blocks):
+            stage.append(_init_bottleneck(keys[next(ki)], cin, planes,
+                                          stride if bi == 0 else 1))
+            cin = planes * 4
+        p["layers"].append(stage)
+    lim = 1.0 / math.sqrt(2048)
+    p["fc"] = {"weight": jax.random.uniform(keys[next(ki)], (num_classes, 2048),
+                                            jnp.float32, -lim, lim),
+               "bias": jnp.zeros((num_classes,), jnp.float32)}
+    return p
+
+
+def resnet_depth_forward(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """x (B, 256, 256, 71) = image+heatmaps → (B, 68) depths."""
+    from ..deca.resnet import _bottleneck
+    out = conv2d(x, p["conv1"], stride=2, padding=3)
+    out = relu(batch_norm(out, p["bn1"]))
+    out = max_pool2d(out, 3, stride=2, padding=1)
+    for stage in p["layers"]:
+        for block in stage:
+            out = _bottleneck(block, out)
+    out = avg_pool2d(out, 7)
+    out = out.reshape(out.shape[0], -1)
+    return linear(out, p["fc"]["weight"], p["fc"]["bias"])

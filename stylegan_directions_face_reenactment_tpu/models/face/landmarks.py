@@ -1,0 +1,96 @@
+"""Landmark estimation orchestration: S3FD detect → crop → FAN → coords.
+
+TPU-first re-design of `libs/face_models/landmarks_estimation.py`
+(reference `LandmarksEstimation`): the reference crops with host-side numpy
+(`fan_model/utils.py:140-165` crop_torch), runs FAN per face and refines
+heatmap peaks with per-landmark python loops; here the whole path is one
+batched jittable program:
+
+  1. best face box per image (from `s3fd.detect_faces`);
+  2. center/scale from the box (center.y -= 0.12·box_h; scale =
+     (w+h)/reference_scale with reference_scale=195,
+     `landmarks_estimation.py:143-150`, `sfd/sfd_detector.py`);
+  3. affine crop to 256 (the 200·scale box convention of
+     `fan_model/utils.py:63-97`) — bilinear warp instead of integer-slice
+     copy (sub-pixel, differentiable);
+  4. FAN heatmaps → vectorized sub-pixel peaks → image coords.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..nn import affine_warp
+from .fan import fan_forward, heatmaps_to_landmarks, landmarks_to_image_coords
+from .s3fd import detect_faces
+
+Params = Dict[str, Any]
+
+REFERENCE_SCALE = 195.0  # `sfd/sfd_detector.py` (face-alignment convention)
+CROP_RESOLUTION = 256.0
+
+
+def box_to_center_scale(box: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """box (..., 4+) [x1, y1, x2, y2] → center (..., 2), scale (...,)
+    (`landmarks_estimation.py:145-150`)."""
+    cx = (box[..., 2] + box[..., 0]) / 2.0
+    cy = (box[..., 3] + box[..., 1]) / 2.0
+    cy = cy - (box[..., 3] - box[..., 1]) * 0.12
+    scale = (box[..., 2] - box[..., 0] + box[..., 3] - box[..., 1]) / REFERENCE_SCALE
+    return jnp.stack([cx, cy], axis=-1), scale
+
+
+def crop_transform(center: jnp.ndarray, scale: jnp.ndarray,
+                   resolution: float = CROP_RESOLUTION) -> jnp.ndarray:
+    """(B,2),(B,) → (B, 3, 3) src→dst affine: dst = res/h·(src − center) + res/2
+    with h = 200·scale (`fan_model/utils.py:63-97`)."""
+    b = center.shape[0]
+    h = 200.0 * scale
+    s = resolution / h
+    zeros = jnp.zeros((b,), jnp.float32)
+    ones = jnp.ones((b,), jnp.float32)
+    tx = resolution * (-center[:, 0] / h + 0.5)
+    ty = resolution * (-center[:, 1] / h + 0.5)
+    rows = jnp.stack([
+        jnp.stack([s, zeros, tx], axis=-1),
+        jnp.stack([zeros, s, ty], axis=-1),
+        jnp.stack([zeros, zeros, ones], axis=-1),
+    ], axis=1)
+    return rows
+
+
+def crop_faces(images: jnp.ndarray, center: jnp.ndarray, scale: jnp.ndarray,
+               resolution: int = 256) -> jnp.ndarray:
+    """Batched 200·scale face crop via affine warp; images (B, H, W, C) in
+    any range (values preserved)."""
+    theta = crop_transform(center, scale, float(resolution))
+    return affine_warp(images, theta, (resolution, resolution))
+
+
+def estimate_landmarks(s3fd_params: Params, fan_params: Params,
+                       images_rgb255: jnp.ndarray,
+                       conf_thresh: float = 0.99
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full batched pipeline: (B, H, W, 3) RGB 0-255 → landmarks (B, 68, 2)
+    in image coords, validity mask (B,), heatmaps (B, 64, 64, 68).
+
+    The detector consumes BGR mean-subtracted input (`sfd/detect.py:21`);
+    FAN consumes the [0,1] crop (`landmarks_estimation.py:152-153`).
+    Detection is stop_gradient'ed: boxes are constants to autodiff, exactly
+    like the reference (detection runs under no_grad).
+    """
+    bgr = images_rgb255[..., ::-1]
+    boxes, valid = detect_faces(s3fd_params, jax.lax.stop_gradient(bgr))
+    best = boxes[:, 0]                               # best-scored box (B, 5)
+    ok = valid[:, 0] & (best[:, 4] > conf_thresh)
+    best = jax.lax.stop_gradient(best)
+
+    center, scale = box_to_center_scale(best)
+    crops = crop_faces(images_rgb255, center, scale, 256) / 255.0
+    heatmaps = fan_forward(fan_params, crops)[-1]    # (B, 64, 64, 68)
+    pts_hm = heatmaps_to_landmarks(heatmaps) + 1.0   # to 1-based like ref
+    pts_img = landmarks_to_image_coords(pts_hm, center, scale)
+    return pts_img, ok, heatmaps

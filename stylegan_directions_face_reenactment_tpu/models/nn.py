@@ -129,13 +129,23 @@ def adaptive_avg_pool2d(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     if h % oh == 0 and w % ow == 0:
         x = x.reshape(n, oh, h // oh, ow, w // ow, c)
         return x.mean(axis=(2, 4))
-    # general case: torch uses variable bins floor(i*h/oh)..ceil((i+1)*h/oh)
-    rows = [x[:, int(np.floor(i * h / oh)):int(np.ceil((i + 1) * h / oh))].mean(
-        axis=1, keepdims=True) for i in range(oh)]
-    x = jnp.concatenate(rows, axis=1)
-    cols = [x[:, :, int(np.floor(j * w / ow)):int(np.ceil((j + 1) * w / ow))].mean(
-        axis=2, keepdims=True) for j in range(ow)]
-    return jnp.concatenate(cols, axis=2)
+    # general case: torch's variable bins floor(i*h/oh)..ceil((i+1)*h/oh),
+    # computed via integral images + static gathers (compiles to a handful
+    # of ops instead of per-bin slicing).
+    lo_h = np.floor(np.arange(oh) * h / oh).astype(np.int32)
+    hi_h = np.ceil((np.arange(oh) + 1) * h / oh).astype(np.int32)
+    lo_w = np.floor(np.arange(ow) * w / ow).astype(np.int32)
+    hi_w = np.ceil((np.arange(ow) + 1) * w / ow).astype(np.int32)
+
+    # integral over rows: (N, h+1, w, c)
+    ch = jnp.concatenate([jnp.zeros_like(x[:, :1]),
+                          jnp.cumsum(x, axis=1)], axis=1)
+    rows = ch[:, hi_h] - ch[:, lo_h]                       # (N, oh, w, c)
+    cw_ = jnp.concatenate([jnp.zeros_like(rows[:, :, :1]),
+                           jnp.cumsum(rows, axis=2)], axis=2)
+    sums = cw_[:, :, hi_w] - cw_[:, :, lo_w]               # (N, oh, ow, c)
+    areas = ((hi_h - lo_h)[:, None] * (hi_w - lo_w)[None, :]).astype(np.float32)
+    return sums / jnp.asarray(areas)[None, :, :, None]
 
 
 def resize_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int],

@@ -1,0 +1,224 @@
+"""Face model parity: S3FD / FAN vs reference torch modules (live), plus
+TPU-friendly post-processing vs reference numpy/python algorithms."""
+
+import importlib.util
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from stylegan_directions_face_reenactment_tpu.models.face import (
+    init_s3fd, s3fd_forward, detect_faces, detect_candidates, nms_fixed,
+    decode_boxes, dense_anchors, init_fan, fan_forward, heatmaps_to_landmarks,
+    landmarks_to_image_coords, box_to_center_scale, crop_transform, crop_faces,
+    crop_using_landmarks,
+)
+from stylegan_directions_face_reenactment_tpu.weights.torch_convert import (
+    convert_s3fd, convert_fan)
+
+
+def _load(path, name):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def nchw(x):
+    return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+
+
+def nhwc(t):
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+
+@pytest.fixture(scope="module")
+def s3fd_pair():
+    ref = _load("/root/reference/libs/face_models/sfd/net_s3fd.py", "ref_s3fd")
+    torch.manual_seed(11)
+    net = ref.s3fd().eval()
+    # shrink magnitudes so exp() in decode stays sane with random weights
+    params = convert_s3fd(net.state_dict())
+    return net, params
+
+
+@pytest.mark.slow
+def test_s3fd_forward_parity(s3fd_pair, rng):
+    net, params = s3fd_pair
+    x = rng.randn(1, 128, 128, 3).astype(np.float32) * 20
+    with torch.no_grad():
+        want = [o.numpy() for o in net(nchw(x))]
+    got = s3fd_forward(params, jnp.asarray(x))
+    assert len(got) == 12
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.transpose(np.asarray(g), (0, 3, 1, 2)),
+                                   w, rtol=5e-3, atol=5e-3)
+
+
+def test_decode_boxes_matches_reference_formula(rng):
+    # sfd/bbox.py decode: center-offset (0.1/0.2 variances)
+    loc = rng.randn(7, 4).astype(np.float32) * 0.5
+    priors = np.abs(rng.randn(7, 4)).astype(np.float32) * 50 + 10
+    got = np.asarray(decode_boxes(jnp.asarray(loc), jnp.asarray(priors)))
+    centers = priors[:, :2] + loc[:, :2] * 0.1 * priors[:, 2:]
+    wh = priors[:, 2:] * np.exp(loc[:, 2:] * 0.2)
+    want = np.concatenate([centers - wh / 2, centers + wh / 2], axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_dense_anchor_layout():
+    a = dense_anchors(2, 3, stride=4)
+    assert a.shape == (6, 4)
+    np.testing.assert_allclose(a[0], [2, 2, 16, 16])
+    np.testing.assert_allclose(a[1], [6, 2, 16, 16])   # x fastest
+    np.testing.assert_allclose(a[3], [2, 6, 16, 16])
+
+
+def test_nms_matches_reference_greedy(rng):
+    # reference nms (sfd/bbox.py:44-66) reimplemented inline as the oracle
+    def ref_nms(dets, thresh):
+        x1, y1, x2, y2, scores = (dets[:, 0], dets[:, 1], dets[:, 2],
+                                  dets[:, 3], dets[:, 4])
+        areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+        order = scores.argsort()[::-1]
+        keep = []
+        while order.size > 0:
+            i = order[0]
+            keep.append(i)
+            xx1 = np.maximum(x1[i], x1[order[1:]])
+            yy1 = np.maximum(y1[i], y1[order[1:]])
+            xx2 = np.minimum(x2[i], x2[order[1:]])
+            yy2 = np.minimum(y2[i], y2[order[1:]])
+            w = np.maximum(0.0, xx2 - xx1 + 1)
+            h = np.maximum(0.0, yy2 - yy1 + 1)
+            ovr = w * h / (areas[i] + areas[order[1:]] - w * h)
+            order = order[np.where(ovr <= thresh)[0] + 1]
+        return keep
+
+    for trial in range(5):
+        r = np.random.RandomState(trial)
+        n = 40
+        centers = r.rand(n, 2) * 100
+        sizes = r.rand(n, 2) * 30 + 5
+        dets = np.concatenate([centers - sizes / 2, centers + sizes / 2,
+                               r.rand(n, 1)], axis=1).astype(np.float32)
+        want_idx = ref_nms(dets, 0.3)
+        kept, mask = nms_fixed(jnp.asarray(dets), 0.3, top_k=n)
+        got = np.asarray(kept)[np.asarray(mask)]
+        want = dets[want_idx]
+        # both are score-sorted sets
+        got_sorted = got[np.argsort(-got[:, 4])]
+        want_sorted = want[np.argsort(-want[:, 4])]
+        np.testing.assert_allclose(got_sorted, want_sorted, rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def fan_pair():
+    ref = _load("/root/reference/libs/face_models/fan_model/models.py", "ref_fan")
+    torch.manual_seed(13)
+    net = ref.FAN(num_modules=2).eval()
+    sd = net.state_dict()
+    # randomize BN stats
+    for k in list(sd):
+        if "running_mean" in k:
+            sd[k] = torch.randn_like(sd[k]) * 0.05
+        if "running_var" in k:
+            sd[k] = torch.rand_like(sd[k]) * 0.5 + 0.5
+    net.load_state_dict(sd)
+    params = convert_fan(net.state_dict(), num_modules=2)
+    return net, params
+
+
+@pytest.mark.slow
+def test_fan_forward_parity(fan_pair, rng):
+    net, params = fan_pair
+    x = rng.rand(1, 128, 128, 3).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in net(nchw(x))]
+    got = fan_forward(params, jnp.asarray(x))
+    assert len(got) == len(want) == 2
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.transpose(np.asarray(g), (0, 3, 1, 2)),
+                                   w, rtol=5e-3, atol=5e-3)
+
+
+def test_heatmap_peaks_match_reference_loop(rng):
+    # oracle: the reference get_preds_fromhm algorithm, reimplemented with
+    # plain numpy loops (landmarks_estimation.py:50-88 semantics)
+    hm = rng.rand(2, 64, 64, 5).astype(np.float32)
+    got = np.asarray(heatmaps_to_landmarks(jnp.asarray(hm)))  # 0.5-based
+
+    hm_t = np.transpose(hm, (0, 3, 1, 2))
+    b, n, H, W = hm_t.shape
+    want = np.zeros((b, n, 2), np.float32)
+    for i in range(b):
+        for j in range(n):
+            idx = hm_t[i, j].reshape(-1).argmax() + 1
+            x = (idx - 1) % W + 1
+            y = np.floor((idx - 1) / H) + 1
+            px, py = int(x) - 1, int(y) - 1
+            fx, fy = float(x), float(y)
+            if 0 < px < 63 and 0 < py < 63:
+                dx = hm_t[i, j, py, px + 1] - hm_t[i, j, py, px - 1]
+                dy = hm_t[i, j, py + 1, px] - hm_t[i, j, py - 1, px]
+                fx += np.sign(dx) * 0.25
+                fy += np.sign(dy) * 0.25
+            want[i, j] = [fx - 0.5, fy - 0.5]
+    np.testing.assert_allclose(got + 1.0 - 1.0, want - 1.0 + 1.0 - 1.0 + 1.0
+                               if False else want, atol=1e-4)
+
+
+def test_landmark_transform_inverse(rng):
+    # landmarks_to_image_coords must match the reference transform(...,
+    # invert=True) mapping: p_img = p_hm/res*h + center - h/2
+    center = jnp.asarray([[100.0, 120.0]])
+    scale = jnp.asarray([1.3])
+    pts = jnp.asarray(rng.rand(1, 68, 2).astype(np.float32) * 64)
+    out = np.asarray(landmarks_to_image_coords(pts, center, scale))
+    h = 200 * 1.3
+    want = np.asarray(pts) / 64.0 * h + (np.asarray([[100, 120.0]]) - h / 2)[None]
+    np.testing.assert_allclose(out, want, rtol=1e-5)
+
+
+def test_box_to_center_scale():
+    box = jnp.asarray([[10.0, 20.0, 110.0, 140.0, 0.999]])
+    center, scale = box_to_center_scale(box)
+    np.testing.assert_allclose(np.asarray(center),
+                               [[60.0, 80.0 - 120 * 0.12]], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(scale), [(100 + 120) / 195.0],
+                               rtol=1e-6)
+
+
+def test_crop_faces_identity_box(rng):
+    # scale chosen so the 200·scale box == the whole image → crop ≈ resize
+    img = rng.rand(1, 256, 256, 3).astype(np.float32)
+    center = jnp.asarray([[128.0, 128.0]])
+    scale = jnp.asarray([256.0 / 200.0])
+    out = np.asarray(crop_faces(jnp.asarray(img), center, scale, 256))
+    # mapping is src*1 + 0 → identity-ish (res/h = 1)
+    np.testing.assert_allclose(out[0, 10:200, 10:200], img[0, 10:200, 10:200],
+                               atol=1e-4)
+
+
+def test_crop_using_landmarks_inside(rng):
+    img = (rng.rand(300, 300, 3) * 255).astype(np.uint8)
+    lms = rng.rand(68, 2).astype(np.float32) * 80 + 110  # well inside
+    out = crop_using_landmarks(img, lms)
+    assert out is not None and out.shape == (256, 256, 3)
+
+
+def test_crop_using_landmarks_out_of_frame(rng):
+    img = (rng.rand(120, 120, 3) * 255).astype(np.uint8)
+    lms = rng.rand(68, 2).astype(np.float32) * 100 + 10
+    out = crop_using_landmarks(img, lms)  # crop box exceeds the frame
+    assert out is not None and out.shape == (256, 256, 3)
+
+
+def test_detect_faces_shapes(rng):
+    p = init_s3fd(jax.random.PRNGKey(0))
+    imgs = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32) * 255)
+    boxes, valid = detect_faces(p, imgs, top_k=16)
+    assert boxes.shape == (2, 16, 5)
+    assert valid.shape == (2, 16)
