@@ -1,0 +1,72 @@
+"""Measure direction ranges over synthetic images (reference
+`extract_statistics.py`): generate N random faces, run DECA, record per-dim
+min/max of [yaw, pitch, roll, jaw, 50 expressions] → ranges_{dataset}.npy
+(54, 2). The reference loops image-by-image; here generation + DECA run in
+jitted batches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Extract direction range statistics")
+    p.add_argument("--output_path", default="./")
+    p.add_argument("--dataset_type", default="voxceleb")
+    p.add_argument("--num_samples", type=int, default=2000)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--truncation", type=float, default=0.7)
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    from ..utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from ..models.deca import calculate_shapemodel
+    from ..pipeline.synthesis import generate_image
+    from .model_loading import compute_trunc, load_deca, load_generator
+
+    g = load_generator(args.dataset_type, random_init=args.random_init)
+    deca = load_deca(random_init=args.random_init)
+    trunc = compute_trunc(g)
+
+    @jax.jit
+    def batch_stats(z):
+        imgs = generate_image(g, z, truncation=args.truncation,
+                              truncation_latent=trunc)
+        params, angles = calculate_shapemodel(deca, imgs)
+        # rows: yaw, pitch, roll, jaw, exp_0..exp_49  → (B, 54)
+        return jnp.concatenate([angles, params["pose"][:, 3:4],
+                                params["alpha_exp"]], axis=1)
+
+    rng = jax.random.PRNGKey(args.seed)
+    rows = []
+    n_batches = -(-args.num_samples // args.batch_size)
+    for i in range(n_batches):
+        rng, k = jax.random.split(rng)
+        z = jax.random.normal(k, (args.batch_size, 512))
+        rows.append(np.asarray(batch_stats(z)))
+        if (i + 1) % 10 == 0:
+            print(f"{(i + 1) * args.batch_size}/{args.num_samples}")
+    all_rows = np.concatenate(rows)[:args.num_samples]
+
+    ranges = np.stack([all_rows.min(axis=0), all_rows.max(axis=0)],
+                      axis=1).astype(np.float64)  # (54, 2)
+    out = os.path.join(args.output_path,
+                       f"ranges_{args.dataset_type}.npy")
+    np.save(out, ranges)
+    print(f"saved {out} shape {ranges.shape}")
+
+
+if __name__ == "__main__":
+    main()

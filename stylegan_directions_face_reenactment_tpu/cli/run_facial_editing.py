@@ -1,0 +1,116 @@
+"""Single-attribute facial editing (reference `run_facial_editing.py`).
+
+Edit one or more directions (0=yaw, 1=pitch, 2=roll, 3=jaw, 4=smile,
+5..14=expressions) of a source face: sweep each direction around the
+source's current value and save per-step images and/or a GIF. The source
+may be an image (inverted with e4e), a .npy W+ latent, or None → random z.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Facial attribute editing")
+    p.add_argument("--source_path", default=None,
+                   help="image (.png/.jpg), W+ latent (.npy), or omit for a "
+                        "random z")
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--directions", type=int, nargs="+", required=True,
+                   help="direction indices 0..14 (0 yaw, 1 pitch, 2 roll, "
+                        "3 jaw, 4 smile, 5-14 expressions)")
+    p.add_argument("--save_gif", action="store_true")
+    p.add_argument("--save_images", action="store_true", default=True)
+    p.add_argument("--optimize_generator", action="store_true", default=False)
+    p.add_argument("--dataset_type", default="voxceleb")
+    p.add_argument("--shifts_count", type=int, default=10)
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    from ..utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.output_path, exist_ok=True)
+
+    import jax
+    import jax.numpy as jnp
+    from ..geometry import initialize_directions
+    from ..models.stylegan2 import mapping, n_latent_for
+    from ..pipeline import (invert_image, optimize_g, preprocess_images,
+                            sweep_direction)
+    from ..models.deca import calculate_shapemodel
+    from ..utils.image_utils import load_image, save_image, tensor_to_image
+    from ..utils.visualization import save_gif
+    from .model_loading import (compute_trunc, load_deca,
+                                load_direction_matrix, load_e4e,
+                                load_face_models, load_generator, load_lpips)
+
+    g = load_generator(args.dataset_type, random_init=args.random_init)
+    a = load_direction_matrix(args.dataset_type, random_init=args.random_init)
+    deca = load_deca(random_init=args.random_init)
+    spec = initialize_directions(args.dataset_type, 15, 6.0)
+    trunc = compute_trunc(g)
+    size = g["meta"]["size"]
+
+    # --- source latent ------------------------------------------------
+    if args.source_path is None:
+        z = jax.random.normal(jax.random.PRNGKey(args.seed), (1, 512))
+        w = trunc + 0.7 * (mapping(g, z) - trunc)
+        source_code = jnp.repeat(w[:, None], n_latent_for(size), axis=1)
+        from ..pipeline.synthesis import generate_image
+        source_img = generate_image(g, source_code, truncation=0.7,
+                                    truncation_latent=trunc,
+                                    input_is_latent=True)
+    elif args.source_path.endswith(".npy"):
+        code = np.load(args.source_path).astype(np.float32)
+        source_code = jnp.asarray(code.reshape(1, -1, 512))
+        from ..pipeline.synthesis import generate_image
+        source_img = generate_image(g, source_code, truncation=0.7,
+                                    truncation_latent=trunc,
+                                    input_is_latent=True)
+    else:
+        e4e = load_e4e(args.dataset_type, random_init=args.random_init)
+        sfd, fan = load_face_models(random_init=args.random_init)
+        batch, ok = preprocess_images(sfd, fan, [load_image(args.source_path)])
+        if not ok[0]:
+            raise RuntimeError("no face detected in source image")
+        source_img = jnp.asarray(batch[:1])
+        _, source_code = invert_image(source_img, e4e, g, truncation=0.7,
+                                      truncation_latent=trunc)
+        if args.optimize_generator:
+            lp = load_lpips(random_init=args.random_init)
+            g, _ = optimize_g(g, source_code, source_img, lp, trunc,
+                              opt_steps=200, lr=3e-3)
+
+    params_source, angles_source = calculate_shapemodel(deca, source_img)
+    params_np = {k: np.asarray(v) for k, v in params_source.items()}
+    angles_np = np.asarray(angles_source)
+
+    for d in args.directions:
+        name, values, imgs = sweep_direction(
+            g, a, spec, source_code, d, params_np, angles_np,
+            shifts_count=args.shifts_count, truncation=0.7,
+            truncation_latent=trunc)
+        imgs = np.asarray(imgs)
+        ddir = os.path.join(args.output_path, name)
+        os.makedirs(ddir, exist_ok=True)
+        if args.save_images:
+            for i in range(len(values)):
+                save_image(imgs[i],
+                           os.path.join(ddir, f"{name}_{i:03d}.png"))
+        if args.save_gif:
+            frames = [tensor_to_image(im) for im in imgs]
+            save_gif(frames + frames[::-1],
+                     os.path.join(args.output_path, f"{name}.gif"), fps=15)
+        print(f"direction {d} ({name}): {len(values)} steps -> {ddir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Face reenactment inference (reference `run_inference.py`).
+
+Self- or cross-reenactment: invert the source face, optionally PTI-tune the
+generator on it, then transfer each target frame's pose+expression. The
+device path is batched over target frames (reference loops per frame).
+
+Usage:
+  python -m stylegan_directions_face_reenactment_tpu.cli.run_inference \
+      --source_path img.png --target_path video.mp4 --output_path ./out
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Neural face reenactment")
+    p.add_argument("--source_path", required=True,
+                   help="source identity: .png/.jpg/.mp4")
+    p.add_argument("--target_path", required=True,
+                   help="target pose source: image, folder, or video")
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--optimize_generator", dest="optimize_generator",
+                   action="store_false", default=True,
+                   help="disable the PTI-style per-identity fine-tune "
+                        "(default ON like the reference)")
+    p.add_argument("--save_images", action="store_true")
+    p.add_argument("--save_grid", action="store_true")
+    p.add_argument("--save_video", action="store_true", default=True)
+    p.add_argument("--dataset_type", default="voxceleb")
+    p.add_argument("--image_resolution", type=int, default=256)
+    p.add_argument("--frame_batch", type=int, default=16,
+                   help="target frames per device batch")
+    p.add_argument("--video_stride", type=int, default=1)
+    p.add_argument("--random_init", action="store_true")
+    return p
+
+
+def _load_target_frames(path: str, stride: int):
+    from ..native.imgproc import extract_frames
+    from ..utils.common import get_image_files
+    from ..utils.image_utils import load_image
+    if os.path.isdir(path):
+        files = get_image_files(path)
+        if not files:
+            raise FileNotFoundError(f"no images in {path}")
+        return [load_image(f) for f in files]
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext in ("png", "jpg", "jpeg"):
+        return [load_image(path)]
+    if ext in ("mp4", "avi"):
+        return extract_frames(path, stride=stride)
+    raise ValueError(f"unsupported target path: {path}")
+
+
+def main(argv=None):
+    from ..utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.output_path, exist_ok=True)
+
+    import jax
+    import jax.numpy as jnp
+    from ..geometry import initialize_directions
+    from ..models.deca import calculate_shapemodel
+    from ..pipeline import (invert_image, make_reenact_fn, optimize_g,
+                            preprocess_images, source_shape)
+    from ..utils.image_utils import (generate_grid_image, load_image,
+                                     save_image)
+    from .model_loading import (compute_trunc, load_deca,
+                                load_direction_matrix, load_e4e,
+                                load_face_models, load_generator, load_lpips)
+
+    # --- models -----------------------------------------------------------
+    g = load_generator(args.dataset_type, random_init=args.random_init)
+    e4e = load_e4e(args.dataset_type, random_init=args.random_init)
+    a = load_direction_matrix(args.dataset_type, random_init=args.random_init)
+    deca = load_deca(random_init=args.random_init)
+    sfd, fan = load_face_models(random_init=args.random_init)
+    spec = initialize_directions(args.dataset_type, 15, 6.0)
+    trunc = compute_trunc(g)
+
+    # --- source -----------------------------------------------------------
+    ext = args.source_path.rsplit(".", 1)[-1].lower()
+    if ext in ("mp4", "avi"):
+        from ..native.imgproc import extract_frames
+        src_raw = [extract_frames(args.source_path, get_only_first=True)[0]]
+    else:
+        src_raw = [load_image(args.source_path)]
+    src_batch, ok = preprocess_images(sfd, fan, src_raw)
+    if not ok[0]:
+        raise RuntimeError("no face detected in the source image")
+    source_img = jnp.asarray(src_batch[:1])
+    _, source_code = invert_image(source_img, e4e, g, truncation=0.7,
+                                  truncation_latent=trunc)
+
+    if args.optimize_generator:
+        lp = load_lpips(random_init=args.random_init)
+        g_src, _ = optimize_g(g, source_code, source_img, lp, trunc,
+                              opt_steps=200, lr=3e-3)
+    else:
+        g_src = g
+
+    params_source, angles_source = source_shape(deca, source_img)
+
+    # --- targets, batched -------------------------------------------------
+    frames = _load_target_frames(args.target_path, args.video_stride)
+    print(f"Run reenactment for {len(frames)} frames")
+    reenact = make_reenact_fn(g_src, a, deca, spec, truncation=0.7,
+                              truncation_latent=trunc)
+
+    grids = []
+    bi = args.frame_batch
+    idx = 0
+    for start in range(0, len(frames), bi):
+        chunk = frames[start:start + bi]
+        tgt_batch, ok = preprocess_images(sfd, fan, chunk)
+        pad = bi - len(chunk)
+        tgt = np.concatenate([tgt_batch] + [tgt_batch[-1:]] * pad) if pad else tgt_batch
+        reenacted, _ = reenact(source_code, params_source, angles_source,
+                               jnp.asarray(tgt))
+        reenacted = np.asarray(reenacted)[:len(chunk)]
+        for j in range(len(chunk)):
+            if args.save_images:
+                save_image(reenacted[j],
+                           os.path.join(args.output_path, f"{idx:06d}.png"))
+            if args.save_grid or args.save_video:
+                grid = generate_grid_image(np.asarray(source_img),
+                                           tgt_batch[j:j + 1],
+                                           reenacted[j:j + 1])
+                if args.save_grid:
+                    gdir = os.path.join(args.output_path, "grids")
+                    os.makedirs(gdir, exist_ok=True)
+                    from PIL import Image
+                    Image.fromarray(grid).save(
+                        os.path.join(gdir, f"{idx:06d}.png"))
+                if args.save_video:
+                    grids.append(grid)
+            idx += 1
+
+    if args.save_video and grids:
+        from ..native.imgproc import generate_video
+        generate_video(grids,
+                       os.path.join(args.output_path, "generated_video.mp4"))
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Train the direction matrix A (reference `run_trainer.py`).
+
+Usage:
+  python -m stylegan_directions_face_reenactment_tpu.cli.run_trainer \
+      --training_method paired --experiment_path ./attempts/v00 \
+      --train_dataset_path ... --test_dataset_path ...
+
+Flags mirror the reference (`run_trainer.py:67-99`); the static
+hyperparameter dict (`config_arguments.py`) is merged via
+`configs/arguments.TrainingArguments`. The experiment directory gets the
+`_{dataset}_{method}` suffix like `run_trainer.py:105`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train the direction matrix A")
+    p.add_argument("--experiment_path", default="./training_attempts/exp_v00")
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--log_images_wandb", action="store_true")
+    p.add_argument("--project_wandb", default="face-reenactment")
+    p.add_argument("--resume_training_model", default=None)
+    p.add_argument("--training_method", default="synthetic",
+                   choices=["synthetic", "real", "real_synthetic", "paired"])
+    p.add_argument("--synthetic_dataset_path", default=None)
+    p.add_argument("--train_dataset_path", default=None)
+    p.add_argument("--test_dataset_path", default=None)
+    p.add_argument("--dataset_type", default="voxceleb",
+                   choices=["voxceleb", "ffhq"])
+    p.add_argument("--image_resolution", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--batch_size", type=int, default=12)
+    p.add_argument("--test_batch_size", type=int, default=4)
+    p.add_argument("--workers", type=int, default=1)
+    p.add_argument("--n_steps", type=int, default=100_000)
+    p.add_argument("--random_init", action="store_true",
+                   help="random-init frozen models (smoke test; no ckpts)")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    from ..utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    args_ns = build_parser().parse_args(argv)
+    from ..configs.arguments import TrainingArguments
+    from ..train import FrozenModels, Trainer
+    from .model_loading import (compute_trunc, load_deca, load_generator,
+                                load_id_backbone, load_lpips)
+
+    targs = TrainingArguments(
+        experiment_path=(f"{args_ns.experiment_path}_"
+                         f"{args_ns.dataset_type}_{args_ns.training_method}"),
+        training_method=args_ns.training_method,
+        dataset_type=args_ns.dataset_type,
+        image_resolution=args_ns.image_resolution,
+        lr=args_ns.lr, batch_size=args_ns.batch_size,
+        test_batch_size=args_ns.test_batch_size,
+        n_steps=args_ns.n_steps,
+        train_dataset_path=args_ns.train_dataset_path,
+        test_dataset_path=args_ns.test_dataset_path,
+        resume_training_model=args_ns.resume_training_model,
+        use_wandb=args_ns.use_wandb, workers=args_ns.workers,
+    )
+
+    g = load_generator(targs.dataset_type, random_init=args_ns.random_init)
+    deca = load_deca(random_init=args_ns.random_init)
+    idb = load_id_backbone(random_init=args_ns.random_init)
+    lp = load_lpips(random_init=args_ns.random_init)
+    trunc = compute_trunc(g)
+    models = FrozenModels(g, deca, idb, lp, trunc)
+
+    trainer = Trainer(targs, models)
+    rng = jax.random.PRNGKey(args_ns.seed)
+    if targs.training_method == "synthetic":
+        trainer.train(rng)
+    elif targs.training_method in ("real", "real_synthetic"):
+        trainer.train_real(rng)
+    elif targs.training_method == "paired":
+        trainer.train_paired(rng)
+
+
+if __name__ == "__main__":
+    main()

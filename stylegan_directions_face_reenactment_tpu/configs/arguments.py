@@ -1,0 +1,61 @@
+"""Training hyperparameters (reference `libs/configs/config_arguments.py`)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class TrainingArguments:
+    """Defaults mirror `config_arguments.py:6-33` + `run_trainer.py:88-93`."""
+    # direction space
+    shift_scale: float = 6.0
+    min_shift: float = 0.1
+    learned_directions: int = 15
+    num_layers_shift: int = 8
+    w_plus: bool = True
+    disentanglement_50: bool = True
+
+    # loss weights
+    lambda_identity: float = 10.0
+    lambda_perceptual: float = 10.0
+    lambda_pixel_wise: float = 1.0     # paired only
+    lambda_shape: float = 1.0
+    lambda_mouth_shape: float = 1.0
+    lambda_eye_shape: float = 1.0
+    lambda_w_reg: float = 0.0
+
+    # cadence
+    steps_per_log: int = 10
+    steps_per_save: int = 1000
+    steps_per_ev_log: int = 1000
+    validation_samples: int = 100
+
+    # logging artifacts
+    reenactment_fig: bool = True
+    num_pairs_log: int = 4
+    gif: bool = False
+    evaluation: bool = True
+
+    # optimizer / schedule (`run_trainer.py:88-93`, `trainer.py:144`)
+    lr: float = 1e-4
+    weight_decay: float = 5e-4
+    batch_size: int = 12
+    test_batch_size: int = 4
+    n_steps: int = 100_000
+
+    # model / data
+    training_method: str = "synthetic"   # synthetic | real | real_synthetic | paired
+    dataset_type: str = "voxceleb"
+    image_resolution: int = 256
+    channel_multiplier: int = 2
+    truncation: float = 0.7
+    dim_z: int = 512
+
+    train_dataset_path: Optional[str] = None
+    test_dataset_path: Optional[str] = None
+    experiment_path: str = "./training_attempts/exp_v00"
+    resume_training_model: Optional[str] = None
+    use_wandb: bool = False
+    workers: int = 1

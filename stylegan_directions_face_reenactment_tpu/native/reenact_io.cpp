@@ -1,0 +1,313 @@
+// reenact_io — native host-side IO runtime for the TPU reenactment framework.
+//
+// Role: the host data path around the XLA compute path. The reference uses
+// OpenCV (C++ under the hood) for video decode/encode and frame handling
+// (`libs/utilities/utils_inference.py:11-58` extract_frames/generate_video);
+// this library provides the equivalent on libavformat/libavcodec/libswscale:
+//
+//   * rio_video_open / rio_video_read / rio_video_close — demux+decode an
+//     mp4/avi into RGB24 frames with an optional frame stride (the
+//     reference's `fps` parameter is actually a stride).
+//   * rio_video_writer_* — encode RGB24 frames to an mp4 (mpeg4 fourcc,
+//     matching the reference's `mp4v` writer).
+//   * rio_resize_bilinear_u8 / rio_to_gan_range — batch preprocessing
+//     (bilinear resize + [-1,1] normalization) without a Python loop.
+//
+// Exposed via a plain C ABI consumed by ctypes (`native/imgproc.py`).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Decoder
+// ---------------------------------------------------------------------------
+
+struct RioVideo {
+    AVFormatContext* fmt = nullptr;
+    AVCodecContext* dec = nullptr;
+    SwsContext* sws = nullptr;
+    int stream_index = -1;
+    int width = 0;
+    int height = 0;
+    double fps = 0.0;
+};
+
+void* rio_video_open(const char* path) {
+    auto* v = new RioVideo();
+    if (avformat_open_input(&v->fmt, path, nullptr, nullptr) < 0) {
+        delete v;
+        return nullptr;
+    }
+    if (avformat_find_stream_info(v->fmt, nullptr) < 0) {
+        avformat_close_input(&v->fmt);
+        delete v;
+        return nullptr;
+    }
+    const AVCodec* codec = nullptr;
+    v->stream_index = av_find_best_stream(v->fmt, AVMEDIA_TYPE_VIDEO, -1, -1,
+                                          &codec, 0);
+    if (v->stream_index < 0 || !codec) {
+        avformat_close_input(&v->fmt);
+        delete v;
+        return nullptr;
+    }
+    AVStream* st = v->fmt->streams[v->stream_index];
+    v->dec = avcodec_alloc_context3(codec);
+    avcodec_parameters_to_context(v->dec, st->codecpar);
+    if (avcodec_open2(v->dec, codec, nullptr) < 0) {
+        avcodec_free_context(&v->dec);
+        avformat_close_input(&v->fmt);
+        delete v;
+        return nullptr;
+    }
+    v->width = v->dec->width;
+    v->height = v->dec->height;
+    AVRational r = st->avg_frame_rate;
+    v->fps = r.den ? (double)r.num / r.den : 0.0;
+    return v;
+}
+
+int rio_video_width(void* h) { return ((RioVideo*)h)->width; }
+int rio_video_height(void* h) { return ((RioVideo*)h)->height; }
+double rio_video_fps(void* h) { return ((RioVideo*)h)->fps; }
+
+// Read up to max_frames frames (taking every `stride`-th decoded frame)
+// into out (max_frames * height * width * 3, RGB24). Returns frames read.
+int rio_video_read(void* h, uint8_t* out, int max_frames, int stride) {
+    auto* v = (RioVideo*)h;
+    if (stride < 1) stride = 1;
+    AVPacket* pkt = av_packet_alloc();
+    AVFrame* frame = av_frame_alloc();
+    AVFrame* rgb = av_frame_alloc();
+
+    const size_t frame_bytes = (size_t)v->width * v->height * 3;
+    int written = 0;
+    long decoded = 0;
+
+    if (!v->sws) {
+        v->sws = sws_getContext(v->width, v->height, v->dec->pix_fmt,
+                                v->width, v->height, AV_PIX_FMT_RGB24,
+                                SWS_BILINEAR, nullptr, nullptr, nullptr);
+    }
+
+    auto emit = [&](AVFrame* f) {
+        if (written >= max_frames) return;
+        if (decoded % stride == 0) {
+            uint8_t* dst_data[1] = {out + (size_t)written * frame_bytes};
+            int dst_linesize[1] = {3 * v->width};
+            sws_scale(v->sws, f->data, f->linesize, 0, v->height, dst_data,
+                      dst_linesize);
+            written++;
+        }
+        decoded++;
+    };
+
+    int ret;
+    while (written < max_frames &&
+           av_read_frame(v->fmt, pkt) >= 0) {
+        if (pkt->stream_index == v->stream_index) {
+            if (avcodec_send_packet(v->dec, pkt) == 0) {
+                while ((ret = avcodec_receive_frame(v->dec, frame)) == 0) {
+                    emit(frame);
+                    if (written >= max_frames) break;
+                }
+            }
+        }
+        av_packet_unref(pkt);
+    }
+    // flush
+    if (written < max_frames) {
+        avcodec_send_packet(v->dec, nullptr);
+        while (avcodec_receive_frame(v->dec, frame) == 0 &&
+               written < max_frames) {
+            emit(frame);
+        }
+    }
+
+    av_frame_free(&rgb);
+    av_frame_free(&frame);
+    av_packet_free(&pkt);
+    return written;
+}
+
+void rio_video_close(void* h) {
+    auto* v = (RioVideo*)h;
+    if (v->sws) sws_freeContext(v->sws);
+    if (v->dec) avcodec_free_context(&v->dec);
+    if (v->fmt) avformat_close_input(&v->fmt);
+    delete v;
+}
+
+// ---------------------------------------------------------------------------
+// Encoder (mpeg4-in-mp4, like the reference's cv2 `mp4v` writer)
+// ---------------------------------------------------------------------------
+
+struct RioWriter {
+    AVFormatContext* fmt = nullptr;
+    AVCodecContext* enc = nullptr;
+    AVStream* stream = nullptr;
+    SwsContext* sws = nullptr;
+    AVFrame* yuv = nullptr;
+    int width = 0, height = 0;
+    int64_t pts = 0;
+};
+
+void* rio_writer_open(const char* path, int width, int height, int fps) {
+    auto* w = new RioWriter();
+    w->width = width;
+    w->height = height;
+    avformat_alloc_output_context2(&w->fmt, nullptr, "mp4", path);
+    if (!w->fmt) { delete w; return nullptr; }
+    const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+    if (!codec) { avformat_free_context(w->fmt); delete w; return nullptr; }
+    w->stream = avformat_new_stream(w->fmt, codec);
+    w->enc = avcodec_alloc_context3(codec);
+    w->enc->width = width;
+    w->enc->height = height;
+    w->enc->pix_fmt = AV_PIX_FMT_YUV420P;
+    w->enc->time_base = AVRational{1, fps};
+    w->enc->bit_rate = 4'000'000;
+    if (w->fmt->oformat->flags & AVFMT_GLOBALHEADER)
+        w->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(w->enc, codec, nullptr) < 0) {
+        avcodec_free_context(&w->enc);
+        avformat_free_context(w->fmt);
+        delete w;
+        return nullptr;
+    }
+    avcodec_parameters_from_context(w->stream->codecpar, w->enc);
+    w->stream->time_base = w->enc->time_base;
+    if (!(w->fmt->oformat->flags & AVFMT_NOFILE)) {
+        if (avio_open(&w->fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+            avcodec_free_context(&w->enc);
+            avformat_free_context(w->fmt);
+            delete w;
+            return nullptr;
+        }
+    }
+    if (avformat_write_header(w->fmt, nullptr) < 0) {
+        avcodec_free_context(&w->enc);
+        avformat_free_context(w->fmt);
+        delete w;
+        return nullptr;
+    }
+    w->sws = sws_getContext(width, height, AV_PIX_FMT_RGB24, width, height,
+                            AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr,
+                            nullptr, nullptr);
+    w->yuv = av_frame_alloc();
+    w->yuv->format = AV_PIX_FMT_YUV420P;
+    w->yuv->width = width;
+    w->yuv->height = height;
+    av_frame_get_buffer(w->yuv, 0);
+    return w;
+}
+
+static int rio_writer_flush_packets(RioWriter* w) {
+    AVPacket* pkt = av_packet_alloc();
+    int ret;
+    while ((ret = avcodec_receive_packet(w->enc, pkt)) == 0) {
+        av_packet_rescale_ts(pkt, w->enc->time_base, w->stream->time_base);
+        pkt->stream_index = w->stream->index;
+        av_interleaved_write_frame(w->fmt, pkt);
+        av_packet_unref(pkt);
+    }
+    av_packet_free(&pkt);
+    return ret == AVERROR(EAGAIN) || ret == AVERROR_EOF ? 0 : ret;
+}
+
+int rio_writer_write(void* h, const uint8_t* rgb) {
+    auto* w = (RioWriter*)h;
+    const uint8_t* src_data[1] = {rgb};
+    int src_linesize[1] = {3 * w->width};
+    av_frame_make_writable(w->yuv);
+    sws_scale(w->sws, src_data, src_linesize, 0, w->height, w->yuv->data,
+              w->yuv->linesize);
+    w->yuv->pts = w->pts++;
+    if (avcodec_send_frame(w->enc, w->yuv) < 0) return -1;
+    return rio_writer_flush_packets(w);
+}
+
+int rio_writer_close(void* h) {
+    auto* w = (RioWriter*)h;
+    avcodec_send_frame(w->enc, nullptr);
+    rio_writer_flush_packets(w);
+    av_write_trailer(w->fmt);
+    if (!(w->fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&w->fmt->pb);
+    sws_freeContext(w->sws);
+    av_frame_free(&w->yuv);
+    avcodec_free_context(&w->enc);
+    avformat_free_context(w->fmt);
+    delete w;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Batch preprocessing
+// ---------------------------------------------------------------------------
+
+// Bilinear resize a batch of HWC uint8 RGB images (half-pixel centers,
+// matching torch/PIL antialias-off semantics closely enough for data-path
+// use).
+void rio_resize_bilinear_u8(const uint8_t* src, int n, int h, int w,
+                            uint8_t* dst, int oh, int ow) {
+    const double sy = (double)h / oh;
+    const double sx = (double)w / ow;
+    for (int i = 0; i < n; i++) {
+        const uint8_t* s = src + (size_t)i * h * w * 3;
+        uint8_t* d = dst + (size_t)i * oh * ow * 3;
+        for (int y = 0; y < oh; y++) {
+            double fy = (y + 0.5) * sy - 0.5;
+            int y0 = (int)fy;
+            if (fy < 0) { fy = 0; y0 = 0; }
+            int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
+            double wy = fy - y0;
+            for (int x = 0; x < ow; x++) {
+                double fx = (x + 0.5) * sx - 0.5;
+                int x0 = (int)fx;
+                if (fx < 0) { fx = 0; x0 = 0; }
+                int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
+                double wx = fx - x0;
+                for (int c = 0; c < 3; c++) {
+                    double v00 = s[(y0 * w + x0) * 3 + c];
+                    double v01 = s[(y0 * w + x1) * 3 + c];
+                    double v10 = s[(y1 * w + x0) * 3 + c];
+                    double v11 = s[(y1 * w + x1) * 3 + c];
+                    double v = (1 - wy) * ((1 - wx) * v00 + wx * v01) +
+                               wy * ((1 - wx) * v10 + wx * v11);
+                    d[(y * ow + x) * 3 + c] = (uint8_t)(v + 0.5);
+                }
+            }
+        }
+    }
+}
+
+// uint8 RGB -> float32 in [-1, 1] (the GAN input range).
+void rio_to_gan_range(const uint8_t* src, float* dst, int64_t count) {
+    for (int64_t i = 0; i < count; i++) {
+        dst[i] = (float)src[i] / 127.5f - 1.0f;
+    }
+}
+
+// float32 [-1, 1] -> uint8 RGB with clipping.
+void rio_from_gan_range(const float* src, uint8_t* dst, int64_t count) {
+    for (int64_t i = 0; i < count; i++) {
+        float v = (src[i] + 1.0f) * 127.5f;
+        if (v < 0) v = 0;
+        if (v > 255) v = 255;
+        dst[i] = (uint8_t)(v + 0.5f);
+    }
+}
+
+}  // extern "C"

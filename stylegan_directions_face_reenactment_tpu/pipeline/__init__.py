@@ -1,0 +1,10 @@
+"""Composed pipelines: preprocess, invert, PTI, reenact, edit."""
+
+from .synthesis import get_shifted_latent_code, generate_image
+from .inversion import invert_image
+from .pti import optimize_g, split_tunable, TUNED_CONV_RANGE
+from .reenactment import reenact_batch, make_reenact_fn, source_shape
+from .editing import sweep_direction, one_hot_shift
+from .preprocess import (preprocess_images, resize_max_side, to_gan_range,
+                         MAX_SIDE)
+from .alignment import make_fan_align, kpt68_center_size, warp_to_224

@@ -1,0 +1,84 @@
+"""DECA face alignment: FAN bbox → similarity warp to 224, batched.
+
+Faithful equivalent of the reference DECA preprocessing
+(`libs/DECA/decalib/datasets/datasets.py:44-86`): detect a face bbox from
+FAN landmarks, convert to (center, size) with the kpt68 rule, build the
+similarity transform sending the source square to the 224 frame, and
+bilinear-warp. The reference runs this per image in a Python loop with
+skimage+kornia; here it's one batched jittable program. The bbox is
+stop-gradient'ed (constants to autodiff) while the warp itself stays
+differentiable in the image — matching the reference's grad flow.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..models.face.fan import fan_forward, heatmaps_to_landmarks, landmarks_to_image_coords
+from ..models.face.landmarks import box_to_center_scale, crop_faces
+from ..models.nn import affine_warp, resize_bilinear
+
+Params = Dict[str, Any]
+
+DECA_CROP = 224
+DECA_SCALE = 1.25  # `datasets.py:33`
+
+
+def kpt68_center_size(landmarks: jnp.ndarray):
+    """bbox2point(type='kpt68') (`datasets.py:47-49`): old_size =
+    (w + h)/2 · 1.1, center = bbox center. landmarks: (B, 68, 2)."""
+    mins = landmarks.min(axis=1)
+    maxs = landmarks.max(axis=1)
+    left, top = mins[:, 0], mins[:, 1]
+    right, bottom = maxs[:, 0], maxs[:, 1]
+    old_size = (right - left + bottom - top) / 2.0 * 1.1
+    center = jnp.stack([right - (right - left) / 2.0,
+                        bottom - (bottom - top) / 2.0], axis=-1)
+    return center, old_size
+
+
+def warp_to_224(images01: jnp.ndarray, center: jnp.ndarray,
+                old_size: jnp.ndarray) -> jnp.ndarray:
+    """Similarity warp of the (center, 1.25·old_size) square to 224
+    (`datasets.py:70-80`). images01: (B, H, W, 3) in [0, 1]."""
+    b = images01.shape[0]
+    size = old_size * DECA_SCALE
+    s = (DECA_CROP - 1.0) / size
+    zeros = jnp.zeros((b,), jnp.float32)
+    ones = jnp.ones((b,), jnp.float32)
+    tx = -(center[:, 0] - size / 2.0) * s
+    ty = -(center[:, 1] - size / 2.0) * s
+    theta = jnp.stack([
+        jnp.stack([s, zeros, tx], axis=-1),
+        jnp.stack([zeros, s, ty], axis=-1),
+        jnp.stack([zeros, zeros, ones], axis=-1),
+    ], axis=1)
+    return affine_warp(images01, theta, (DECA_CROP, DECA_CROP))
+
+
+def make_fan_align(fan_params: Params):
+    """Batched DECA aligner: [0,1] images (any square size) → (B, 224, 224, 3).
+
+    Uses FAN landmarks on the (resized-to-256) image for the bbox,
+    matching the reference's FAN detector path (`decalib/datasets/
+    detectors.py:23-42` derives the bbox from FAN landmarks)."""
+
+    def align(images01: jnp.ndarray) -> jnp.ndarray:
+        h = images01.shape[1]
+        im256 = images01 if h == 256 else resize_bilinear(images01, (256, 256))
+        heat = fan_forward(fan_params, jax.lax.stop_gradient(im256))[-1]
+        pts = heatmaps_to_landmarks(heat) + 1.0
+        # FAN ran on the full 256 frame: center (128,128), scale 256/200
+        center0 = jnp.tile(jnp.asarray([[128.0, 128.0]]), (images01.shape[0], 1))
+        scale0 = jnp.full((images01.shape[0],), 256.0 / 200.0)
+        lms = landmarks_to_image_coords(pts, center0, scale0)
+        if h != 256:
+            lms = lms * (h / 256.0)
+        lms = jax.lax.stop_gradient(lms)
+        center, old_size = kpt68_center_size(lms)
+        return warp_to_224(images01, center, old_size)
+
+    return align

@@ -1,0 +1,79 @@
+"""Image preprocessing: detect → landmarks → FFHQ crop → [-1,1] tensor.
+
+Equivalent of `libs/utilities/utils_inference.py:61-82` (`preprocess_image`):
+resize so max side = 1000, run SFD+FAN landmarks, landmark-crop to 256,
+normalize to [-1, 1]. The detector/landmark half runs batched on device;
+the FFHQ crop (reflect-pad + fade) stays host-side like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from ..models.face import estimate_landmarks, crop_using_landmarks
+
+Params = Dict[str, Any]
+
+MAX_SIDE = 1000  # `utils_inference.py:64-69`
+
+
+def resize_max_side(image: np.ndarray, max_side: int = MAX_SIDE) -> np.ndarray:
+    """Resize so the longer side equals ``max_side`` if it exceeds it."""
+    h, w = image.shape[:2]
+    m = max(h, w)
+    if m <= max_side:
+        return image
+    scale = max_side / m
+    new = (int(round(w * scale)), int(round(h * scale)))
+    return np.array(Image.fromarray(image).resize(new, Image.BILINEAR))
+
+
+def to_gan_range(image_uint8: np.ndarray) -> np.ndarray:
+    """HWC uint8 → HWC float32 in [-1, 1] (the reference transform chain
+    resize → ToTensor → Normalize(.5,.5,.5), `dataloader.py:31-34`)."""
+    return image_uint8.astype(np.float32) / 127.5 - 1.0
+
+
+def preprocess_images(s3fd_params: Params, fan_params: Params,
+                      images: List[np.ndarray],
+                      image_size: int = 256
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Batch preprocess: list of HWC uint8 RGB frames → (B, 256, 256, 3)
+    float32 in [-1, 1] + validity mask (B,).
+
+    Device part (detection + landmarks) is batched per unique input
+    resolution; the landmark crop runs host-side.
+    """
+    resized = [resize_max_side(im) for im in images]
+
+    # bucket by shape so each bucket is one fixed-shape device call
+    buckets: Dict[Tuple[int, int], List[int]] = {}
+    for i, im in enumerate(resized):
+        buckets.setdefault(im.shape[:2], []).append(i)
+
+    lms = [None] * len(resized)
+    ok = np.zeros(len(resized), bool)
+    for shape, idxs in buckets.items():
+        batch = jnp.asarray(np.stack([resized[i] for i in idxs]).astype(np.float32))
+        pts, valid, _ = estimate_landmarks(s3fd_params, fan_params, batch)
+        pts = np.asarray(pts)
+        valid = np.asarray(valid)
+        for j, i in enumerate(idxs):
+            lms[i] = pts[j]
+            ok[i] = bool(valid[j])
+
+    out = np.zeros((len(resized), image_size, image_size, 3), np.float32)
+    for i, (im, lm) in enumerate(zip(resized, lms)):
+        if not ok[i]:
+            continue
+        crop = crop_using_landmarks(im, lm, image_size=image_size)
+        if crop is None:
+            ok[i] = False
+            continue
+        out[i] = to_gan_range(crop)
+    return out, ok

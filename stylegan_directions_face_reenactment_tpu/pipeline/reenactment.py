@@ -1,0 +1,87 @@
+"""Face reenactment: the full per-frame program, batched over frames.
+
+TPU-first re-design of `run_inference.py:157-254` (reference). The
+reference processes target frames in a sequential Python loop — preprocess,
+DECA encode, Δp, A, synthesize, one frame at a time. Here the device-side
+path (DECA → Δp → A → shifted synthesis) is ONE jitted program over a
+*batch* of target frames; video length is handled by batching frames, not
+looping, which is what makes the ≥500 fps/chip target reachable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.directions import DirectionsSpec, make_shift_vector
+from ..models.deca.deca import calculate_shapemodel
+from ..models.direction_matrix import direction_matrix_forward
+from .synthesis import generate_image
+
+Params = Dict[str, Any]
+
+
+def source_shape(deca_params: Params, source_img: jnp.ndarray):
+    """DECA coefficients for the (1, 256, 256, 3) source image."""
+    return calculate_shapemodel(deca_params, source_img)
+
+
+def reenact_batch(g_params: Params, a_params: Params, deca_params: Params,
+                  spec: DirectionsSpec,
+                  source_code: jnp.ndarray,
+                  params_source: Dict[str, jnp.ndarray],
+                  angles_source: jnp.ndarray,
+                  target_imgs: jnp.ndarray, *,
+                  truncation: float = 0.7,
+                  truncation_latent: Optional[jnp.ndarray] = None,
+                  num_layers_shift: int = 8,
+                  compute_dtype=jnp.float32
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reenact a batch of target frames onto one source identity.
+
+    source_code: (1, n_latent, 512) W+ of the source;
+    params_source/angles_source: DECA outputs for the source (batch 1);
+    target_imgs: (T, 256, 256, 3) in [-1, 1].
+
+    Returns (reenacted (T, 256, 256, 3), shifted latents (T, n_latent, 512)).
+    The whole function jits into a single XLA program
+    (cf. reference per-frame loop `run_inference.py:170-195`).
+    """
+    t = target_imgs.shape[0]
+    params_target, angles_target = calculate_shapemodel(deca_params, target_imgs)
+
+    ps = {k: jnp.broadcast_to(v, (t,) + v.shape[1:])
+          for k, v in params_source.items()}
+    angs = jnp.broadcast_to(angles_source, (t, 3))
+
+    delta_p = make_shift_vector(spec, ps, params_target, angs, angles_target)
+    shift = direction_matrix_forward(a_params, delta_p)      # (T, L, 512)
+
+    codes = jnp.broadcast_to(source_code, (t,) + source_code.shape[1:])
+    reenacted, shifted_latents = generate_image(
+        g_params, codes, truncation=truncation,
+        truncation_latent=truncation_latent, w_plus=True,
+        num_layers_shift=num_layers_shift, shift_code=shift,
+        input_is_latent=True, return_latents=True,
+        compute_dtype=compute_dtype)
+    return reenacted, shifted_latents
+
+
+def make_reenact_fn(g_params: Params, a_params: Params, deca_params: Params,
+                    spec: DirectionsSpec, *, truncation: float = 0.7,
+                    truncation_latent: Optional[jnp.ndarray] = None,
+                    num_layers_shift: int = 8, compute_dtype=jnp.float32):
+    """Jitted closure over the frozen models: (source_code, params_source,
+    angles_source, target_imgs) → (reenacted, latents)."""
+
+    @jax.jit
+    def fn(source_code, params_source, angles_source, target_imgs):
+        return reenact_batch(
+            g_params, a_params, deca_params, spec, source_code,
+            params_source, angles_source, target_imgs,
+            truncation=truncation, truncation_latent=truncation_latent,
+            num_layers_shift=num_layers_shift, compute_dtype=compute_dtype)
+
+    return fn

@@ -1,0 +1,278 @@
+"""Jitted training steps for the three training methods.
+
+TPU-first re-design of the loops in `libs/trainer.py:135-405` (reference):
+each step — sample/load inputs, DECA both sides, Δp, A, shifted synthesis,
+DECA with grad, loss, Adam on A — compiles into ONE XLA program. The deep
+backward chain (loss → FLAME → ResNet50 → image → StyleGAN2 → A,
+`SURVEY.md §3.4`) is plain jax.grad.
+
+Optimizer matches torch Adam(lr, weight_decay=5e-4) (`trainer.py:144`):
+weight decay is added to the gradient *before* the moment updates.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..configs.arguments import TrainingArguments
+from ..geometry.directions import (DirectionsSpec, make_shift_vector,
+                                   make_shift_vector_50)
+from ..models.deca.deca import calculate_shapemodel
+from ..models.direction_matrix import direction_matrix_forward
+from ..models.stylegan2 import mapping, n_latent_for
+from ..pipeline.synthesis import generate_image
+from .losses_stack import calculate_losses, calculate_losses_paired
+
+Params = Dict[str, Any]
+
+
+class FrozenModels(NamedTuple):
+    """The frozen model zoo closed over by the jitted steps."""
+    generator: Params
+    deca: Params
+    id_backbone: Params
+    lpips: Params
+    truncation_latent: jnp.ndarray
+
+
+def make_optimizer(args: TrainingArguments) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) equivalent."""
+    return optax.chain(
+        optax.add_decayed_weights(args.weight_decay),
+        optax.scale_by_adam(),
+        optax.scale(-args.lr),
+    )
+
+
+def _lambdas(args: TrainingArguments) -> Dict[str, float]:
+    return {
+        "lambda_identity": args.lambda_identity,
+        "lambda_perceptual": args.lambda_perceptual,
+        "lambda_pixel_wise": args.lambda_pixel_wise,
+        "lambda_shape": args.lambda_shape,
+        "lambda_mouth_shape": args.lambda_mouth_shape,
+        "lambda_eye_shape": args.lambda_eye_shape,
+        "lambda_w_reg": args.lambda_w_reg,
+    }
+
+
+def split_a(a_params: Params):
+    """Separate the float-trainable leaves from the static metadata so
+    jax.grad / optax never see integer leaves."""
+    trainable = {k: v for k, v in a_params.items() if k != "meta"}
+    meta = a_params.get("meta")
+
+    def rebuild(t):
+        return {**t, "meta": meta} if meta is not None else dict(t)
+
+    return trainable, rebuild
+
+
+
+def _a_apply(a_train: Params, delta_p: jnp.ndarray,
+             args: TrainingArguments) -> jnp.ndarray:
+    """direction_matrix_forward using static config (jit-safe: no int
+    leaves ride through the traced pytree)."""
+    x = delta_p.reshape(-1, args.learned_directions)
+    out = jnp.dot(x, a_train["weight"].T, preferred_element_type=jnp.float32)
+    if "bias" in a_train:
+        out = out + a_train["bias"]
+    if args.w_plus:
+        out = out.reshape(x.shape[0], args.num_layers_shift, -1)
+    return out
+
+
+def _shift_and_indices(spec, args, params_source, params_target,
+                       angles_source, angles_target, rng):
+    if args.disentanglement_50:
+        return make_shift_vector_50(spec, params_source, params_target,
+                                    angles_source, angles_target, rng)
+    sv = make_shift_vector(spec, params_source, params_target,
+                           angles_source, angles_target)
+    return sv, jnp.zeros((angles_source.shape[0] // 2,), jnp.int32)
+
+
+def make_synthetic_step(models: FrozenModels, spec: DirectionsSpec,
+                        args: TrainingArguments,
+                        tx: optax.GradientTransformation) -> Callable:
+    """`Trainer.train()` step (`trainer.py:151-189`): z-sampled source and
+    target, losses vs the source image + gt-reenacted shape."""
+    lambdas = _lambdas(args)
+
+    @jax.jit
+    def _step(trainable: Params, opt_state, rng: jax.Array):
+        k_src, k_tgt, k_dir = jax.random.split(rng, 3)
+        z_src = jax.random.normal(k_src, (args.batch_size, args.dim_z))
+        z_tgt = jax.random.normal(k_tgt, (args.batch_size, args.dim_z))
+
+        imgs_source, _ = generate_image(
+            models.generator, z_src, truncation=args.truncation,
+            truncation_latent=models.truncation_latent, return_latents=True)
+        imgs_source = jax.lax.stop_gradient(imgs_source)
+        params_source, angles_source = calculate_shapemodel(
+            models.deca, imgs_source)
+
+        imgs_target = jax.lax.stop_gradient(generate_image(
+            models.generator, z_tgt, truncation=args.truncation,
+            truncation_latent=models.truncation_latent))
+        params_target, angles_target = calculate_shapemodel(
+            models.deca, imgs_target)
+
+        params_source = jax.lax.stop_gradient(params_source)
+        params_target = jax.lax.stop_gradient(params_target)
+        angles_source = jax.lax.stop_gradient(angles_source)
+        angles_target = jax.lax.stop_gradient(angles_target)
+
+        shift_vector, target_indices = _shift_and_indices(
+            spec, args, params_source, params_target, angles_source,
+            angles_target, k_dir)
+
+        def loss_fn_t(a_train):
+            shift = _a_apply(a_train, shift_vector, args)
+            imgs_shifted, _ = generate_image(
+                models.generator, z_src, truncation=args.truncation,
+                truncation_latent=models.truncation_latent, shift_code=shift,
+                input_is_latent=False, return_latents=True,
+                num_layers_shift=args.num_layers_shift, w_plus=args.w_plus)
+            params_shifted, _ = calculate_shapemodel(models.deca, imgs_shifted)
+            return calculate_losses(
+                models.deca, models.id_backbone, models.lpips, spec, lambdas,
+                params_source, angles_source, params_shifted, params_target,
+                shift_vector, target_indices, imgs_source, imgs_shifted,
+                disentanglement_50=args.disentanglement_50)
+
+        (loss, loss_dict), grads = jax.value_and_grad(
+            loss_fn_t, has_aux=True)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss_dict
+
+    def step(a_params: Params, opt_state, rng, *extra):
+        trainable, rebuild = split_a(a_params)
+        trainable, opt_state, loss_dict = _step(trainable, opt_state, rng,
+                                                *extra)
+        return rebuild(trainable), opt_state, loss_dict
+
+    return step
+
+
+def make_real_step(models: FrozenModels, spec: DirectionsSpec,
+                   args: TrainingArguments,
+                   tx: optax.GradientTransformation,
+                   synthetic_half: bool = False) -> Callable:
+    """`Trainer.train_real()` step (`trainer.py:247-308`): source = real
+    inverted W+ codes (+ optional synthetic half for 'real_synthetic'),
+    target = random z."""
+    lambdas = _lambdas(args)
+    n_lat = n_latent_for(args.image_resolution)
+
+    @jax.jit
+    def _step(trainable: Params, opt_state, rng: jax.Array,
+              source_w: jnp.ndarray, source_real_img: jnp.ndarray):
+        k_tgt, k_dir, k_syn = jax.random.split(rng, 3)
+
+        if synthetic_half:
+            half = args.batch_size // 2
+            z_syn = jax.random.normal(k_syn, (half, args.dim_z))
+            w_syn = mapping(models.generator, z_syn)
+            w_syn = jnp.repeat(w_syn[:, None, :], n_lat, axis=1)
+            imgs_syn = jax.lax.stop_gradient(generate_image(
+                models.generator, w_syn, truncation=args.truncation,
+                truncation_latent=models.truncation_latent,
+                input_is_latent=True))
+            source_w = jnp.concatenate([source_w, w_syn], axis=0)
+            source_real_img = jnp.concatenate([source_real_img, imgs_syn],
+                                              axis=0)
+
+        params_source, angles_source = jax.lax.stop_gradient(
+            calculate_shapemodel(models.deca, source_real_img))
+
+        z_tgt = jax.random.normal(k_tgt, (args.batch_size, args.dim_z))
+        imgs_target = jax.lax.stop_gradient(generate_image(
+            models.generator, z_tgt, truncation=args.truncation,
+            truncation_latent=models.truncation_latent))
+        params_target, angles_target = jax.lax.stop_gradient(
+            calculate_shapemodel(models.deca, imgs_target))
+
+        shift_vector, target_indices = _shift_and_indices(
+            spec, args, params_source, params_target, angles_source,
+            angles_target, k_dir)
+
+        def loss_fn_t(a_train):
+            shift = _a_apply(a_train, shift_vector, args)
+            imgs_shifted, _ = generate_image(
+                models.generator, source_w, truncation=args.truncation,
+                truncation_latent=models.truncation_latent, shift_code=shift,
+                input_is_latent=True, return_latents=True,
+                num_layers_shift=args.num_layers_shift, w_plus=args.w_plus)
+            params_shifted, _ = calculate_shapemodel(models.deca, imgs_shifted)
+            return calculate_losses(
+                models.deca, models.id_backbone, models.lpips, spec, lambdas,
+                params_source, angles_source, params_shifted, params_target,
+                shift_vector, target_indices, source_real_img, imgs_shifted,
+                disentanglement_50=args.disentanglement_50)
+
+        (loss, loss_dict), grads = jax.value_and_grad(
+            loss_fn_t, has_aux=True)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss_dict
+
+    def step(a_params: Params, opt_state, rng, *extra):
+        trainable, rebuild = split_a(a_params)
+        trainable, opt_state, loss_dict = _step(trainable, opt_state, rng,
+                                                *extra)
+        return rebuild(trainable), opt_state, loss_dict
+
+    return step
+
+
+def make_paired_step(models: FrozenModels, spec: DirectionsSpec,
+                     args: TrainingArguments,
+                     tx: optax.GradientTransformation) -> Callable:
+    """`Trainer.train_paired()` step (`trainer.py:349-397`): same-video
+    source/target frame pairs; losses vs the real target frame."""
+    lambdas = _lambdas(args)
+
+    @jax.jit
+    def _step(trainable: Params, opt_state, rng: jax.Array,
+              source_w: jnp.ndarray, source_img: jnp.ndarray,
+              target_w: jnp.ndarray, target_img: jnp.ndarray):
+        params_source, angles_source = jax.lax.stop_gradient(
+            calculate_shapemodel(models.deca, source_img))
+        params_target, angles_target = jax.lax.stop_gradient(
+            calculate_shapemodel(models.deca, target_img))
+
+        shift_vector = make_shift_vector(spec, params_source, params_target,
+                                         angles_source, angles_target)
+
+        def loss_fn_t(a_train):
+            shift = _a_apply(a_train, shift_vector, args)
+            imgs_shifted, shifted_latents = generate_image(
+                models.generator, source_w, truncation=args.truncation,
+                truncation_latent=models.truncation_latent, shift_code=shift,
+                input_is_latent=True, return_latents=True,
+                num_layers_shift=args.num_layers_shift, w_plus=args.w_plus)
+            params_shifted, _ = calculate_shapemodel(models.deca, imgs_shifted)
+            return calculate_losses_paired(
+                models.deca, models.id_backbone, models.lpips, lambdas,
+                params_shifted, params_target, imgs_shifted, target_img,
+                shifted_latents, target_w)
+
+        (loss, loss_dict), grads = jax.value_and_grad(
+            loss_fn_t, has_aux=True)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss_dict
+
+    def step(a_params: Params, opt_state, rng, *extra):
+        trainable, rebuild = split_a(a_params)
+        trainable, opt_state, loss_dict = _step(trainable, opt_state, rng,
+                                                *extra)
+        return rebuild(trainable), opt_state, loss_dict
+
+    return step

