@@ -239,3 +239,41 @@ def resnet_depth_forward(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     out = avg_pool2d(out, 7)
     out = out.reshape(out.shape[0], -1)
     return linear(out, p["fc"]["weight"], p["fc"]["bias"])
+
+
+# ---------------------------------------------------------------------------
+# 3D landmarks (depth) support
+# ---------------------------------------------------------------------------
+
+def draw_gaussians(points: jnp.ndarray, size: int = 256,
+                   sigma: float = 2.0) -> jnp.ndarray:
+    """Render one gaussian heatmap per landmark, batched.
+
+    Vectorized equivalent of the reference per-landmark loop
+    (`fan_model/utils.py:39-61` draw_gaussian as used by
+    `landmarks_estimation.py:167-173`): peak at the (1-based) point,
+    clipped at 1. points: (B, L, 2) → (B, size, size, L).
+    """
+    ys = jnp.arange(1, size + 1, dtype=jnp.float32)
+    xs = jnp.arange(1, size + 1, dtype=jnp.float32)
+    gy = ys[None, :, None, None] - points[:, None, None, :, 1]  # (B,H,1,L)
+    gx = xs[None, None, :, None] - points[:, None, None, :, 0]  # (B,1,W,L)
+    g = jnp.exp(-(gy ** 2 + gx ** 2) / (2.0 * sigma ** 2))
+    # the reference skips landmarks with x <= 0 (`landmarks_estimation.py:169`)
+    valid = (points[:, None, None, :, 0] > 0).astype(g.dtype)
+    return jnp.minimum(g * valid, 1.0)
+
+
+def predict_depth(depth_params: Params, crops01: jnp.ndarray,
+                  pts_hm: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """3D landmark depths (`landmarks_estimation.py:165-181`).
+
+    crops01: (B, 256, 256, 3) FAN input crops in [0,1];
+    pts_hm: (B, 68, 2) heatmap-frame peaks (1-based); scale: (B,).
+    Returns (B, 68) depths in image units: depth · 200·scale/256.
+    """
+    pts256 = pts_hm * 4.0
+    heat = draw_gaussians(pts256, size=256, sigma=2.0)
+    inp = jnp.concatenate([crops01, heat], axis=-1)  # (B,256,256,71)
+    depth = resnet_depth_forward(depth_params, inp)  # (B, 68)
+    return depth * (200.0 * scale[:, None] / 256.0)

@@ -94,3 +94,25 @@ def estimate_landmarks(s3fd_params: Params, fan_params: Params,
     pts_hm = heatmaps_to_landmarks(heatmaps) + 1.0   # to 1-based like ref
     pts_img = landmarks_to_image_coords(pts_hm, center, scale)
     return pts_img, ok, heatmaps
+
+
+def estimate_landmarks_3d(s3fd_params: Params, fan_params: Params,
+                          depth_params: Params, images_rgb255: jnp.ndarray,
+                          conf_thresh: float = 0.99):
+    """3D variant (`landmarks_estimation.py` type='3D'): 2D landmarks plus
+    depths from the ResNetDepth net fed with the crop + per-landmark
+    gaussian heatmaps (`:165-181`). Returns ((B, 68, 3), valid mask)."""
+    from .fan import predict_depth
+
+    bgr = images_rgb255[..., ::-1]
+    boxes, valid = detect_faces(s3fd_params, jax.lax.stop_gradient(bgr))
+    best = jax.lax.stop_gradient(boxes[:, 0])
+    ok = valid[:, 0] & (best[:, 4] > conf_thresh)
+
+    center, scale = box_to_center_scale(best)
+    crops = crop_faces(images_rgb255, center, scale, 256) / 255.0
+    heatmaps = fan_forward(fan_params, crops)[-1]
+    pts_hm = heatmaps_to_landmarks(heatmaps) + 1.0
+    pts_img = landmarks_to_image_coords(pts_hm, center, scale)
+    depth = predict_depth(depth_params, crops, pts_hm, scale)
+    return jnp.concatenate([pts_img, depth[..., None]], axis=-1), ok

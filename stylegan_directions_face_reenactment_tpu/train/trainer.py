@@ -83,6 +83,19 @@ class Trainer:
             body = " | ".join(f"{k}: {float(v):.2f}"
                               for k, v in loss_dict.items())
             self.log_fn(f"{head} | {body} | Mean Loss {mean_loss:.2f}")
+            # scalar stream (the reference's wandb.log equivalent,
+            # `trainer.py:195-199`): one JSON line per log step
+            rec = {"step": step, **{k: float(v) for k, v in loss_dict.items()}}
+            if epoch is not None:
+                rec["epoch"] = epoch
+            with open(os.path.join(self.logs_dir, "train_log.jsonl"), "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            if self.args.use_wandb:
+                try:
+                    import wandb
+                    wandb.log(rec)
+                except ImportError:
+                    pass  # wandb not installed; jsonl stream stands in
 
     def _maybe_save(self, a_params: Params, step: int):
         if step % self.args.steps_per_save == 0 and step > 0:

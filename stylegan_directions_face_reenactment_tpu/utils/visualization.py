@@ -39,6 +39,8 @@ def make_interpolation_chart(g_params: Params, a_params: Params,
     """Per-direction shift sweeps → one frame per shift value, each frame a
     horizontal strip over directions (`visualization.py:21-73`)."""
     k = a_params["meta"]["input_dim"]
+    if truncation_latent is None:
+        truncation = 1.0  # no mean latent available → no truncation
     if directions is None:
         directions = list(range(k))
     values = np.linspace(-shift_scale, shift_scale, 2 * steps + 1)
