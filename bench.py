@@ -22,9 +22,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import os
+
     from stylegan_directions_face_reenactment_tpu.utils.jax_cache import (
         enable_persistent_cache)
     enable_persistent_cache()
+
+    backend = os.environ.get("REENACT_RESAMPLE_BACKEND")
+    if backend:
+        from stylegan_directions_face_reenactment_tpu.ops.upfirdn2d import (
+            set_resample_backend)
+        set_resample_backend(backend)
 
     from stylegan_directions_face_reenactment_tpu.geometry import (
         initialize_directions)

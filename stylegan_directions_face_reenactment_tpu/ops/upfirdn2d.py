@@ -127,6 +127,30 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up=1, down=1,
 # StyleGAN2 resampling wrappers (pad arithmetic from model.py:30-88)
 # ---------------------------------------------------------------------------
 
+# Backend for the up/blur resampling ops. "xla" = the dilated-conv
+# formulation above (TPU f32 convs use bf16 multiply passes ⇒ ~1e-2 abs
+# error). "pallas" = the polyphase Pallas kernel (`ops/pallas_upfirdn.py`),
+# exact f32 like the reference CUDA kernel and faster for 2x upsampling.
+_RESAMPLE_BACKEND = "xla"
+
+
+def set_resample_backend(name: str) -> None:
+    global _RESAMPLE_BACKEND
+    if name not in ("xla", "pallas"):
+        raise ValueError("backend must be 'xla' or 'pallas'")
+    _RESAMPLE_BACKEND = name
+
+
+def get_resample_backend() -> str:
+    return _RESAMPLE_BACKEND
+
+
+def _pallas_ok(kernel) -> bool:
+    import jax as _jax
+    return (_RESAMPLE_BACKEND == "pallas"
+            and not isinstance(kernel, _jax.core.Tracer))
+
+
 def upsample2d(x: jnp.ndarray, kernel: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     """2x (or ``factor``x) upsampling with a FIR filter.
 
@@ -136,6 +160,9 @@ def upsample2d(x: jnp.ndarray, kernel: jnp.ndarray, factor: int = 2) -> jnp.ndar
     p = kernel.shape[0] - factor
     pad0 = (p + 1) // 2 + factor - 1
     pad1 = p // 2
+    if factor in (1, 2) and _pallas_ok(kernel):
+        from .pallas_upfirdn import upfirdn2d_pallas
+        return upfirdn2d_pallas(x, np.asarray(kernel), factor, (pad0, pad1))
     return upfirdn2d(x, kernel, up=factor, down=1, pad=(pad0, pad1))
 
 
@@ -149,4 +176,8 @@ def downsample2d(x: jnp.ndarray, kernel: jnp.ndarray, factor: int = 2) -> jnp.nd
 
 def blur(x: jnp.ndarray, kernel: jnp.ndarray, pad: Tuple[int, int]) -> jnp.ndarray:
     """Plain FIR blur with explicit pad (`model.py:72-88`)."""
+    if _pallas_ok(kernel):
+        from .pallas_upfirdn import upfirdn2d_pallas
+        return upfirdn2d_pallas(x, np.asarray(kernel), 1,
+                                (int(pad[0]), int(pad[1])))
     return upfirdn2d(x, kernel, up=1, down=1, pad=pad)
