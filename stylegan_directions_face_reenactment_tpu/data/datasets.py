@@ -46,8 +46,9 @@ def _video_paths(id_path: str) -> List[str]:
 class CustomDataset:
     """Per-frame {real_img, inv_img, w} samples (`dataloader.py:19-126`)."""
 
-    def __init__(self, dataset_path: str):
+    def __init__(self, dataset_path: str, image_size: int = 256):
         self.dataset_path = dataset_path
+        self.image_size = image_size
         real, inv, w = [], [], []
         counter_ids = counter_videos = 0
         for id_path in _list_ids(dataset_path):
@@ -79,8 +80,10 @@ class CustomDataset:
         code = np.load(self.w[index]).astype(np.float32)
         assert code.ndim == 2, f"latent code should be L x 512, got {code.shape}"
         return {
-            "real_img": load_image_gan_range(self.real_images[index]),
-            "inv_img": load_image_gan_range(self.inv_images[index]),
+            "real_img": load_image_gan_range(self.real_images[index],
+                                             self.image_size),
+            "inv_img": load_image_gan_range(self.inv_images[index],
+                                            self.image_size),
             "w": code,
         }
 
@@ -159,9 +162,11 @@ class CustomDatasetPaired:
     `trainer.py:398-404`)."""
 
     def __init__(self, dataset_path: str, num_samples: Optional[int] = None,
-                 max_pairs: int = 2, seed: Optional[int] = None):
+                 max_pairs: int = 2, seed: Optional[int] = None,
+                 image_size: int = 256):
         self.dataset_path = dataset_path
         self.max_pairs = max_pairs
+        self.image_size = image_size
         self.rng = np.random.RandomState(seed)
         self.resample()
 
@@ -212,10 +217,12 @@ class CustomDatasetPaired:
         while target_index == source_index:
             target_index = int(self.rng.randint(n))
         return {
-            "source_img": load_image_gan_range(video["frames"][source_index]),
+            "source_img": load_image_gan_range(video["frames"][source_index],
+                                               self.image_size),
             "source_latent_code": np.load(video["codes"][source_index]).astype(
                 np.float32).reshape(-1, 512),
-            "target_img": load_image_gan_range(video["frames"][target_index]),
+            "target_img": load_image_gan_range(video["frames"][target_index],
+                                               self.image_size),
             "target_latent_code": np.load(video["codes"][target_index]).astype(
                 np.float32).reshape(-1, 512),
         }
@@ -225,8 +232,9 @@ class CustomDatasetPairedValidation(CustomDatasetPaired):
     """Fixed target index per sample (`dataloader_paired.py:151-275`)."""
 
     def __init__(self, dataset_path: str, num_samples: Optional[int] = None,
-                 max_pairs: int = 2, seed: int = 0):
-        super().__init__(dataset_path, num_samples, max_pairs, seed=seed)
+                 max_pairs: int = 2, seed: int = 0, image_size: int = 256):
+        super().__init__(dataset_path, num_samples, max_pairs, seed=seed,
+                         image_size=image_size)
         self.fixed_targets = {}
         for i, (key, src) in enumerate(self.samples):
             n = self.videos[key]["num_frames"]

@@ -124,7 +124,8 @@ class Trainer:
 
         if method == "paired":
             ds = CustomDatasetPairedValidation(args.test_dataset_path,
-                                               num_samples=num_samples)
+                                               num_samples=num_samples,
+                                               image_size=args.image_resolution)
         elif method in ("real", "real_synthetic"):
             ds = CustomDatasetTestsetReal(args.test_dataset_path,
                                           num_samples=num_samples)
@@ -195,6 +196,24 @@ class Trainer:
         if save_figure and fig is not None:
             Image.fromarray(fig).save(
                 os.path.join(self.images_dir, f"{step:04d}_reenactment.png"))
+        if self.args.gif:
+            # per-direction interpolation GIF (`utils_train.py:648-693`
+            # log_interpolation / `visualization.py:21-73`)
+            from ..utils.visualization import make_interpolation_chart, save_gif
+            from ..models.stylegan2 import mapping, n_latent_for
+            z = jax.random.normal(jax.random.PRNGKey(0), (1, 512))
+            w = mapping(self.models.generator, z)
+            lat = jnp.repeat(w[:, None],
+                             n_latent_for(args.image_resolution), axis=1)
+            frames = make_interpolation_chart(
+                self.models.generator, a_params, lat,
+                truncation=args.truncation,
+                truncation_latent=self.models.truncation_latent,
+                num_layers_shift=args.num_layers_shift,
+                directions=list(range(min(4, args.learned_directions))),
+                shift_scale=args.shift_scale, steps=2)
+            save_gif(frames, os.path.join(self.images_dir,
+                                          f"{step:04d}_directions.gif"))
         self.metrics_log.append({"step": step, **metrics})
         with open(os.path.join(self.logs_dir, "eval_metrics.json"), "w") as f:
             json.dump(self.metrics_log, f, indent=2)
@@ -243,7 +262,8 @@ class Trainer:
         step_fn = make_real_step(self.models, self.spec, args, self.tx,
                                  synthetic_half=synthetic_half)
 
-        dataset = CustomDataset(args.train_dataset_path)
+        dataset = CustomDataset(args.train_dataset_path,
+                                image_size=args.image_resolution)
         loader = Loader(dataset, batch_local, shuffle=True, drop_last=True)
         n_img, n_ids, n_vid = dataset.get_length()
         self.log_fn(f"Training: {n_img} images {n_ids} ids {n_vid} videos")
@@ -278,7 +298,8 @@ class Trainer:
         opt_state = self.tx.init(split_a(a_params)[0])
         step_fn = make_paired_step(self.models, self.spec, args, self.tx)
 
-        dataset = CustomDatasetPaired(args.train_dataset_path, max_pairs=2)
+        dataset = CustomDatasetPaired(args.train_dataset_path, max_pairs=2,
+                                      image_size=args.image_resolution)
         n_img, n_ids, n_vid = dataset.get_length()
         self.log_fn(f"Training: {n_img} pairs {n_ids} ids {n_vid} videos")
 

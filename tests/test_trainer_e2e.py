@@ -1,0 +1,99 @@
+"""Trainer end-to-end smoke tests on tiny configs (synthetic + paired with a
+fabricated on-disk VoxCeleb tree + evaluation)."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from stylegan_directions_face_reenactment_tpu.configs.arguments import TrainingArguments
+from stylegan_directions_face_reenactment_tpu.losses import init_lpips_alex
+from stylegan_directions_face_reenactment_tpu.models import (
+    init_generator, mean_latent, n_latent_for)
+from stylegan_directions_face_reenactment_tpu.models.deca import (
+    init_deca, synthetic_flame_params)
+from stylegan_directions_face_reenactment_tpu.models.irse import init_backbone
+from stylegan_directions_face_reenactment_tpu.train import FrozenModels, Trainer
+
+SIZE = 64
+
+
+@pytest.fixture(scope="module")
+def models():
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    g = init_generator(ks[0], size=SIZE)
+    deca = init_deca(ks[1], synthetic_flame_params(ks[2], n_verts=128,
+                                                   n_faces=200),
+                     with_detail=False)
+    return FrozenModels(g, deca, init_backbone(ks[3]), init_lpips_alex(ks[4]),
+                        mean_latent(g, ks[5], n_latent=32))
+
+
+def _make_voxceleb_tree(root, n_ids=1, n_videos=1, n_frames=3):
+    rng = np.random.RandomState(0)
+    n_lat = n_latent_for(SIZE)
+    for i in range(n_ids):
+        for v in range(n_videos):
+            base = os.path.join(root, f"id{i:05d}", f"video{v}")
+            fdir = os.path.join(base, "frames_cropped")
+            idir = os.path.join(base, "inversion", "frames")
+            cdir = os.path.join(base, "inversion", "latent_codes")
+            for d in (fdir, idir, cdir):
+                os.makedirs(d, exist_ok=True)
+            for f in range(n_frames):
+                img = (rng.rand(SIZE, SIZE, 3) * 255).astype(np.uint8)
+                Image.fromarray(img).save(os.path.join(fdir, f"{f:06d}.png"))
+                Image.fromarray(img).save(os.path.join(idir, f"{f:06d}.png"))
+                np.save(os.path.join(cdir, f"{f:06d}.npy"),
+                        rng.randn(n_lat, 512).astype(np.float32))
+
+
+def test_trainer_synthetic_two_steps(tmp_path, models):
+    args = TrainingArguments(batch_size=2, image_resolution=SIZE,
+                             experiment_path=str(tmp_path / "exp"),
+                             steps_per_log=1, steps_per_save=1,
+                             evaluation=False)
+    tr = Trainer(args, models, log_fn=lambda s: None)
+    a = tr.train(jax.random.PRNGKey(0), n_steps=2)
+    assert np.isfinite(np.asarray(a["weight"])).all()
+    # artifacts: arguments.json + scalar stream + checkpoint at step 1
+    assert (tmp_path / "exp" / "arguments.json").exists()
+    log = (tmp_path / "exp" / "logs" / "train_log.jsonl").read_text()
+    assert len(log.strip().splitlines()) == 2
+    assert (tmp_path / "exp" / "models" / "A_matrix_000001.npz").exists()
+
+
+def test_trainer_paired_epoch(tmp_path, models):
+    data = tmp_path / "data"
+    _make_voxceleb_tree(str(data))
+    args = TrainingArguments(batch_size=2, image_resolution=SIZE,
+                             training_method="paired",
+                             experiment_path=str(tmp_path / "exp"),
+                             train_dataset_path=str(data),
+                             test_dataset_path=str(data),
+                             steps_per_log=1)
+    tr = Trainer(args, models, log_fn=lambda s: None)
+    a = tr.train_paired(jax.random.PRNGKey(0), n_epochs=1)
+    assert np.isfinite(np.asarray(a["weight"])).all()
+
+
+def test_trainer_evaluate_synthetic(tmp_path, models):
+    args = TrainingArguments(batch_size=2, test_batch_size=2,
+                             image_resolution=SIZE,
+                             experiment_path=str(tmp_path / "exp"),
+                             validation_samples=2, num_pairs_log=2)
+    tr = Trainer(args, models, log_fn=lambda s: None)
+    from stylegan_directions_face_reenactment_tpu.models import init_direction_matrix
+    a = init_direction_matrix(jax.random.PRNGKey(1), 512, 15, w_plus=True,
+                              num_layers=8)
+    metrics = tr.evaluate(a, step=0)
+    assert set(metrics) == {"csim", "pose_error", "expression_error"}
+    assert all(np.isfinite(v) for v in metrics.values())
+    assert (tmp_path / "exp" / "images" / "0000_reenactment.png").exists()
+    saved = json.loads((tmp_path / "exp" / "logs" /
+                        "eval_metrics.json").read_text())
+    assert saved[0]["step"] == 0
