@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="target frames per device batch")
     p.add_argument("--video_stride", type=int, default=1)
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--skip_preprocess", action="store_true",
+                   help="inputs are already FFHQ-cropped 256 faces: bypass "
+                        "detection/landmark cropping (also the smoke path "
+                        "with --random_init detectors)")
     return p
 
 
@@ -80,9 +84,20 @@ def main(argv=None):
     e4e = load_e4e(args.dataset_type, random_init=args.random_init)
     a = load_direction_matrix(args.dataset_type, random_init=args.random_init)
     deca = load_deca(random_init=args.random_init)
-    sfd, fan = load_face_models(random_init=args.random_init)
+    sfd = fan = None
+    if not args.skip_preprocess:
+        sfd, fan = load_face_models(random_init=args.random_init)
     spec = initialize_directions(args.dataset_type, 15, 6.0)
     trunc = compute_trunc(g)
+
+    def prep(frames):
+        if args.skip_preprocess:
+            from ..native.imgproc import resize_bilinear_u8
+            batch = resize_bilinear_u8(np.stack(frames).astype(np.uint8),
+                                       (256, 256))
+            return batch.astype(np.float32) / 127.5 - 1.0, \
+                np.ones(len(frames), bool)
+        return preprocess_images(sfd, fan, frames)
 
     # --- source -----------------------------------------------------------
     ext = args.source_path.rsplit(".", 1)[-1].lower()
@@ -91,7 +106,7 @@ def main(argv=None):
         src_raw = [extract_frames(args.source_path, get_only_first=True)[0]]
     else:
         src_raw = [load_image(args.source_path)]
-    src_batch, ok = preprocess_images(sfd, fan, src_raw)
+    src_batch, ok = prep(src_raw)
     if not ok[0]:
         raise RuntimeError("no face detected in the source image")
     source_img = jnp.asarray(src_batch[:1])
@@ -118,7 +133,7 @@ def main(argv=None):
     idx = 0
     for start in range(0, len(frames), bi):
         chunk = frames[start:start + bi]
-        tgt_batch, ok = preprocess_images(sfd, fan, chunk)
+        tgt_batch, ok = prep(chunk)
         pad = bi - len(chunk)
         tgt = np.concatenate([tgt_batch] + [tgt_batch[-1:]] * pad) if pad else tgt_batch
         reenacted, _ = reenact(source_code, params_source, angles_source,

@@ -87,11 +87,18 @@ def extract_frames(path: str, stride: int = 1, max_frames: int = 100_000,
     try:
         width = lib.rio_video_width(h)
         height = lib.rio_video_height(h)
-        want = 1 if get_only_first else max_frames
-        buf = np.empty((want, height, width, 3), np.uint8)
-        n = lib.rio_video_read(h, buf.ctypes.data_as(ctypes.c_void_p), want,
-                               1 if get_only_first else stride)
-        return [buf[i].copy() for i in range(n)]
+        frames = []
+        chunk = 1 if get_only_first else 64
+        eff_stride = 1 if get_only_first else stride
+        while len(frames) < (1 if get_only_first else max_frames):
+            want = min(chunk, (1 if get_only_first else max_frames) - len(frames))
+            buf = np.empty((want, height, width, 3), np.uint8)
+            n = lib.rio_video_read(h, buf.ctypes.data_as(ctypes.c_void_p),
+                                   want, eff_stride)
+            frames.extend(buf[i].copy() for i in range(n))
+            if n < want:
+                break  # stream exhausted
+        return frames
     finally:
         lib.rio_video_close(h)
 

@@ -42,6 +42,7 @@ struct RioVideo {
     int width = 0;
     int height = 0;
     double fps = 0.0;
+    long decoded = 0;  // persists across rio_video_read calls (stride state)
 };
 
 void* rio_video_open(const char* path) {
@@ -94,7 +95,6 @@ int rio_video_read(void* h, uint8_t* out, int max_frames, int stride) {
 
     const size_t frame_bytes = (size_t)v->width * v->height * 3;
     int written = 0;
-    long decoded = 0;
 
     if (!v->sws) {
         v->sws = sws_getContext(v->width, v->height, v->dec->pix_fmt,
@@ -104,14 +104,14 @@ int rio_video_read(void* h, uint8_t* out, int max_frames, int stride) {
 
     auto emit = [&](AVFrame* f) {
         if (written >= max_frames) return;
-        if (decoded % stride == 0) {
+        if (v->decoded % stride == 0) {
             uint8_t* dst_data[1] = {out + (size_t)written * frame_bytes};
             int dst_linesize[1] = {3 * v->width};
             sws_scale(v->sws, f->data, f->linesize, 0, v->height, dst_data,
                       dst_linesize);
             written++;
         }
-        decoded++;
+        v->decoded++;
     };
 
     int ret;

@@ -7,3 +7,4 @@ from .visualization import make_interpolation_chart, save_gif
 from .common import (make_noise, one_hot, make_path, save_arguments_json,
                      get_image_files)
 from .jax_cache import enable_persistent_cache
+from .profiling import trace, StepTimer
