@@ -250,10 +250,12 @@ class CustomDatasetPairedValidation(CustomDatasetPaired):
         video = self.videos[key]
         target_index = self.fixed_targets[index]
         return {
-            "source_img": load_image_gan_range(video["frames"][source_index]),
+            "source_img": load_image_gan_range(video["frames"][source_index],
+                                               self.image_size),
             "source_latent_code": np.load(video["codes"][source_index]).astype(
                 np.float32).reshape(-1, 512),
-            "target_img": load_image_gan_range(video["frames"][target_index]),
+            "target_img": load_image_gan_range(video["frames"][target_index],
+                                               self.image_size),
             "target_latent_code": np.load(video["codes"][target_index]).astype(
                 np.float32).reshape(-1, 512),
         }

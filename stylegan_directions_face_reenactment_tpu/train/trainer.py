@@ -138,6 +138,32 @@ class Trainer:
         loader = Loader(ds, bs, shuffle=False, drop_last=True)
 
         @jax.jit
+        def eval_batch_paired(a_train, source_w, source_img, target_img):
+            """Paired eval (`utils_train.py` evaluate_model_reenactment_video):
+            DECA on the REAL frames; reenact from the source code; metrics vs
+            the real target frame."""
+            params_source, angles_source = calculate_shapemodel(
+                self.models.deca, source_img)
+            params_target, angles_target = calculate_shapemodel(
+                self.models.deca, target_img)
+            sv = make_shift_vector(self.spec, params_source, params_target,
+                                   angles_source, angles_target)
+            shift = _a_apply(a_train, sv, args)
+            imgs_shifted, _ = generate_image(
+                self.models.generator, source_w, truncation=args.truncation,
+                truncation_latent=self.models.truncation_latent,
+                shift_code=shift, input_is_latent=True,
+                return_latents=True, num_layers_shift=args.num_layers_shift,
+                w_plus=args.w_plus)
+            params_shifted, angles_shifted = calculate_shapemodel(
+                self.models.deca, imgs_shifted)
+            csim, pose_err, exp_err = extract_evaluation_metrics(
+                self.spec, self.models.id_backbone, params_shifted,
+                params_target, angles_shifted, angles_target, imgs_shifted,
+                source_img)
+            return csim, pose_err, exp_err, source_img, target_img, imgs_shifted
+
+        @jax.jit
         def eval_batch(a_train, source_w, target_w):
             imgs_source, _ = generate_image(
                 self.models.generator, source_w, truncation=args.truncation,
@@ -174,14 +200,17 @@ class Trainer:
         fig = None
         for bi, batch in enumerate(loader):
             if method == "paired":
-                # paired validation provides same-video latent codes
-                # (`dataloader_paired.py:151-275`); reenact source→target
-                sw = jnp.asarray(batch["source_latent_code"])
-                tw = jnp.asarray(batch["target_latent_code"])
+                # paired validation: real same-video frames + codes
+                # (`dataloader_paired.py:151-275`); metrics vs the real
+                # target frame like evaluate_model_reenactment_video
+                csim, pe, ee, src, tgt, ren = eval_batch_paired(
+                    a_train, jnp.asarray(batch["source_latent_code"]),
+                    jnp.asarray(batch["source_img"]),
+                    jnp.asarray(batch["target_img"]))
             else:
                 sw = jnp.asarray(batch["source_w"])
                 tw = jnp.asarray(batch["target_w"])
-            csim, pe, ee, src, tgt, ren = eval_batch(a_train, sw, tw)
+                csim, pe, ee, src, tgt, ren = eval_batch(a_train, sw, tw)
             csims.append(float(csim))
             poses.append(float(pe))
             exps.append(float(ee))

@@ -97,3 +97,22 @@ def test_trainer_evaluate_synthetic(tmp_path, models):
     saved = json.loads((tmp_path / "exp" / "logs" /
                         "eval_metrics.json").read_text())
     assert saved[0]["step"] == 0
+
+
+def test_trainer_evaluate_paired(tmp_path, models):
+    data = tmp_path / "pdata"
+    _make_voxceleb_tree(str(data), n_frames=4)
+    args = TrainingArguments(batch_size=2, test_batch_size=2,
+                             image_resolution=SIZE,
+                             training_method="paired",
+                             experiment_path=str(tmp_path / "exp"),
+                             train_dataset_path=str(data),
+                             test_dataset_path=str(data),
+                             validation_samples=2, num_pairs_log=2)
+    tr = Trainer(args, models, log_fn=lambda s: None)
+    from stylegan_directions_face_reenactment_tpu.models import init_direction_matrix
+    a = init_direction_matrix(jax.random.PRNGKey(2), 512, 15, w_plus=True,
+                              num_layers=8)
+    metrics = tr.evaluate(a, step=5)
+    assert all(np.isfinite(v) for v in metrics.values())
+    assert (tmp_path / "exp" / "images" / "0005_reenactment.png").exists()
