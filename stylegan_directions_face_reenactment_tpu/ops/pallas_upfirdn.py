@@ -74,11 +74,23 @@ def _phase_taps(kernel_flipped: np.ndarray, up: int, p0y: int, p0x: int):
     return ty, tx, pre_y, pre_x, max_sy, max_sx
 
 
+def _separable_factors(kflip: np.ndarray):
+    """If the (flipped) kernel is rank-1 (every StyleGAN2 blur kernel is an
+    outer product, `model.py:19-27`), return 1D row/col factors, else None."""
+    u, s, vt = np.linalg.svd(kflip)
+    if s.shape[0] > 1 and s[1] > 1e-6 * max(s[0], 1e-30):
+        return None
+    ky = u[:, 0] * np.sqrt(s[0])
+    kx = vt[0] * np.sqrt(s[0])
+    return ky.astype(np.float64), kx.astype(np.float64)
+
+
 def _make_kernel_fn(taps_y, taps_x, kflip: np.ndarray, up: int,
                     th_out: int, ow: int, rows_in: int):
     """Build the pallas kernel body (everything static)."""
     oh_half = th_out // up
     ow_half = ow // up
+    sep = _separable_factors(kflip)
 
     def body(x_hbm, o_ref, scratch, sem):
         b = pl.program_id(0)
@@ -90,10 +102,12 @@ def _make_kernel_fn(taps_y, taps_x, kflip: np.ndarray, up: int,
         cp.start()
         cp.wait()
 
-        phase_rows = []
-        for phy in range(up):
-            phase_cols = []
-            for phx in range(up):
+        row_filtered = {}  # per-phy row-filtered intermediate (separable path)
+
+        def phase_block(phy, phx):
+            """One output phase: Σ taps · offset slice (dense), or the
+            separable row-then-column formulation (≈half the VPU passes)."""
+            if sep is None:
                 acc = None
                 for jy, sy in taps_y[phy]:
                     for jx, sx in taps_x[phx]:
@@ -101,10 +115,28 @@ def _make_kernel_fn(taps_y, taps_x, kflip: np.ndarray, up: int,
                         sl = scratch[sy:sy + oh_half, sx:sx + ow_half, :]
                         term = sl * tap
                         acc = term if acc is None else acc + term
-                if acc is None:
-                    acc = jnp.zeros((oh_half, ow_half) + scratch.shape[2:],
-                                    scratch.dtype)
-                phase_cols.append(acc)
+            else:
+                ky, kx = sep
+                if phy not in row_filtered:
+                    row_acc = None
+                    for jy, sy in taps_y[phy]:
+                        t = scratch[sy:sy + oh_half, :, :] * float(ky[jy])
+                        row_acc = t if row_acc is None else row_acc + t
+                    row_filtered[phy] = row_acc
+                row_acc = row_filtered[phy]
+                acc = None
+                if row_acc is not None:
+                    for jx, sx in taps_x[phx]:
+                        t = row_acc[:, sx:sx + ow_half, :] * float(kx[jx])
+                        acc = t if acc is None else acc + t
+            if acc is None:
+                acc = jnp.zeros((oh_half, ow_half) + scratch.shape[2:],
+                                scratch.dtype)
+            return acc
+
+        phase_rows = []
+        for phy in range(up):
+            phase_cols = [phase_block(phy, phx) for phx in range(up)]
             if up == 1:
                 phase_rows.append(phase_cols[0])
             else:
@@ -190,7 +222,7 @@ def _forward(x, kernel, up, pad):
     post_y = max(0, rows_in + (oh // up - oh_half) - pre_y - h)
     post_x = max(0, cols_in - pre_x - w)
     width = pre_x + w + post_x
-    post_x += (-width) % 8
+    post_x += (-width) % 16  # sublane tile: 8 (f32) / 16 (bf16) — use 16
     xp = jnp.pad(x, ((0, 0), (pre_y, post_y), (pre_x, post_x), (0, 0)))
 
     body = _make_kernel_fn(taps_y, taps_x, kflip, up, th_out, ow,

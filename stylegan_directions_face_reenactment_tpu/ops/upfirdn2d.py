@@ -127,17 +127,19 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up=1, down=1,
 # StyleGAN2 resampling wrappers (pad arithmetic from model.py:30-88)
 # ---------------------------------------------------------------------------
 
-# Backend for the up/blur resampling ops. "xla" = the dilated-conv
-# formulation above (TPU f32 convs use bf16 multiply passes ⇒ ~1e-2 abs
-# error). "pallas" = the polyphase Pallas kernel (`ops/pallas_upfirdn.py`),
-# exact f32 like the reference CUDA kernel and faster for 2x upsampling.
+# Backend for the up/blur resampling ops:
+#   "xla"    — the dilated-conv formulation above (TPU f32 convs use bf16
+#              multiply passes ⇒ ~1e-2 abs error); fastest for plain blur.
+#   "pallas" — the polyphase Pallas kernel (`ops/pallas_upfirdn.py`)
+#              everywhere: exact f32 like the reference CUDA kernel.
+#   "mixed"  — Pallas for 2x upsampling (faster AND exact), XLA for blur.
 _RESAMPLE_BACKEND = "xla"
 
 
 def set_resample_backend(name: str) -> None:
     global _RESAMPLE_BACKEND
-    if name not in ("xla", "pallas"):
-        raise ValueError("backend must be 'xla' or 'pallas'")
+    if name not in ("xla", "pallas", "mixed"):
+        raise ValueError("backend must be 'xla', 'pallas' or 'mixed'")
     _RESAMPLE_BACKEND = name
 
 
@@ -145,10 +147,13 @@ def get_resample_backend() -> str:
     return _RESAMPLE_BACKEND
 
 
-def _pallas_ok(kernel) -> bool:
+def _pallas_ok(kernel, for_upsample: bool = False) -> bool:
     import jax as _jax
-    return (_RESAMPLE_BACKEND == "pallas"
-            and not isinstance(kernel, _jax.core.Tracer))
+    if isinstance(kernel, _jax.core.Tracer):
+        return False
+    if _RESAMPLE_BACKEND == "pallas":
+        return True
+    return _RESAMPLE_BACKEND == "mixed" and for_upsample
 
 
 def upsample2d(x: jnp.ndarray, kernel: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
@@ -160,7 +165,7 @@ def upsample2d(x: jnp.ndarray, kernel: jnp.ndarray, factor: int = 2) -> jnp.ndar
     p = kernel.shape[0] - factor
     pad0 = (p + 1) // 2 + factor - 1
     pad1 = p // 2
-    if factor in (1, 2) and _pallas_ok(kernel):
+    if factor in (1, 2) and _pallas_ok(kernel, for_upsample=True):
         from .pallas_upfirdn import upfirdn2d_pallas
         return upfirdn2d_pallas(x, np.asarray(kernel), factor, (pad0, pad1))
     return upfirdn2d(x, kernel, up=factor, down=1, pad=(pad0, pad1))

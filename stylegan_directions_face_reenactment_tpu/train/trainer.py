@@ -103,6 +103,16 @@ class Trainer:
                           self.args.learned_directions, self.args.shift_scale,
                           self.args.w_plus, self.args.num_layers_shift)
 
+    def _maybe_eval(self, a_params: Params, step: int):
+        """Evaluation cadence (`utils_train.py:506-510`): every
+        steps_per_ev_log when evaluation is enabled (incl. step 0, like the
+        reference)."""
+        if self.args.evaluation and step % self.args.steps_per_ev_log == 0:
+            try:
+                self.evaluate(a_params, step=step)
+            except FileNotFoundError as e:
+                self.log_fn(f"[eval step {step}] skipped: {e}")
+
     # ------------------------------------------------------------------
     def evaluate(self, a_params: Params, step: int = 0,
                  num_samples: Optional[int] = None,
@@ -272,6 +282,7 @@ class Trainer:
             if step % 500 == 0 and step > 0:
                 losses = []
             self._maybe_save(a_params, step)
+            self._maybe_eval(a_params, step)
         return a_params
 
     def train_real(self, rng: Optional[jax.Array] = None,
@@ -311,6 +322,7 @@ class Trainer:
                 if global_step % 500 == 0 and global_step > 0:
                     losses = []
                 self._maybe_save(a_params, global_step)
+                self._maybe_eval(a_params, global_step)
                 global_step += 1
         return a_params
 
@@ -351,6 +363,7 @@ class Trainer:
                 if global_step % 500 == 0 and global_step > 0:
                     losses = []
                 self._maybe_save(a_params, global_step)
+                self._maybe_eval(a_params, global_step)
                 global_step += 1
             dataset.resample()  # re-pick pairs each epoch (`trainer.py:398-404`)
         return a_params
