@@ -60,6 +60,62 @@ def _lambdas(args: TrainingArguments) -> Dict[str, float]:
     }
 
 
+
+_STATIC_KEYS = ("meta", "_meta")
+
+
+def strip_statics(tree):
+    """Split a params pytree into (array-only tree, statics) so it can ride
+    through jit as an ARGUMENT (weights as runtime inputs keep the HLO small
+    — baking 100s of MB of frozen weights as constants overflows the
+    compile pipeline) while 'meta'/'_meta' config dicts stay static."""
+    if isinstance(tree, dict):
+        arrays, statics = {}, {}
+        for k, v in tree.items():
+            if k in _STATIC_KEYS:
+                statics[k] = v
+            else:
+                a, st = strip_statics(v)
+                arrays[k] = a
+                if st:
+                    statics[k] = st
+        return arrays, statics
+    if isinstance(tree, (list, tuple)):
+        pairs = [strip_statics(v) for v in tree]
+        arrays = [a for a, _ in pairs]
+        statics = {i: st for i, (_, st) in enumerate(pairs) if st}
+        if hasattr(tree, "_fields"):          # NamedTuple
+            return type(tree)(*arrays), statics
+        if isinstance(tree, tuple):
+            return tuple(arrays), statics
+        return arrays, statics
+    return tree, {}
+
+
+def merge_statics(tree, statics):
+    """Inverse of :func:`strip_statics`."""
+    if not statics:
+        return tree
+    if isinstance(tree, dict):
+        out = dict(tree)
+        for k, st in statics.items():
+            if k in _STATIC_KEYS:
+                out[k] = st
+            else:
+                out[k] = merge_statics(tree[k], st)
+        return out
+    if isinstance(tree, (list, tuple)):
+        items = list(tree)
+        for i, st in statics.items():
+            items[i] = merge_statics(items[i], st)
+        if hasattr(tree, "_fields"):
+            return type(tree)(*items)
+        if isinstance(tree, tuple):
+            return tuple(items)
+        return items
+    return tree
+
+
 def split_a(a_params: Params):
     """Separate the float-trainable leaves from the static metadata so
     jax.grad / optax never see integer leaves."""
@@ -102,9 +158,12 @@ def make_synthetic_step(models: FrozenModels, spec: DirectionsSpec,
     """`Trainer.train()` step (`trainer.py:151-189`): z-sampled source and
     target, losses vs the source image + gt-reenacted shape."""
     lambdas = _lambdas(args)
+    models_arrays, models_statics = strip_statics(models)
 
     @jax.jit
-    def _step(trainable: Params, opt_state, rng: jax.Array):
+    def _step(trainable: Params, opt_state, rng: jax.Array,
+              models_arrays: FrozenModels):
+        models = merge_statics(models_arrays, models_statics)
         k_src, k_tgt, k_dir = jax.random.split(rng, 3)
         z_src = jax.random.normal(k_src, (args.batch_size, args.dim_z))
         z_tgt = jax.random.normal(k_tgt, (args.batch_size, args.dim_z))
@@ -154,7 +213,7 @@ def make_synthetic_step(models: FrozenModels, spec: DirectionsSpec,
     def step(a_params: Params, opt_state, rng, *extra):
         trainable, rebuild = split_a(a_params)
         trainable, opt_state, loss_dict = _step(trainable, opt_state, rng,
-                                                *extra)
+                                                models_arrays, *extra)
         return rebuild(trainable), opt_state, loss_dict
 
     return step
@@ -168,11 +227,14 @@ def make_real_step(models: FrozenModels, spec: DirectionsSpec,
     inverted W+ codes (+ optional synthetic half for 'real_synthetic'),
     target = random z."""
     lambdas = _lambdas(args)
+    models_arrays, models_statics = strip_statics(models)
     n_lat = n_latent_for(args.image_resolution)
 
     @jax.jit
     def _step(trainable: Params, opt_state, rng: jax.Array,
+              models_arrays: FrozenModels,
               source_w: jnp.ndarray, source_real_img: jnp.ndarray):
+        models = merge_statics(models_arrays, models_statics)
         k_tgt, k_dir, k_syn = jax.random.split(rng, 3)
 
         if synthetic_half:
@@ -225,7 +287,7 @@ def make_real_step(models: FrozenModels, spec: DirectionsSpec,
     def step(a_params: Params, opt_state, rng, *extra):
         trainable, rebuild = split_a(a_params)
         trainable, opt_state, loss_dict = _step(trainable, opt_state, rng,
-                                                *extra)
+                                                models_arrays, *extra)
         return rebuild(trainable), opt_state, loss_dict
 
     return step
@@ -237,11 +299,14 @@ def make_paired_step(models: FrozenModels, spec: DirectionsSpec,
     """`Trainer.train_paired()` step (`trainer.py:349-397`): same-video
     source/target frame pairs; losses vs the real target frame."""
     lambdas = _lambdas(args)
+    models_arrays, models_statics = strip_statics(models)
 
     @jax.jit
     def _step(trainable: Params, opt_state, rng: jax.Array,
+              models_arrays: FrozenModels,
               source_w: jnp.ndarray, source_img: jnp.ndarray,
               target_w: jnp.ndarray, target_img: jnp.ndarray):
+        models = merge_statics(models_arrays, models_statics)
         params_source, angles_source = jax.lax.stop_gradient(
             calculate_shapemodel(models.deca, source_img))
         params_target, angles_target = jax.lax.stop_gradient(
@@ -272,7 +337,7 @@ def make_paired_step(models: FrozenModels, spec: DirectionsSpec,
     def step(a_params: Params, opt_state, rng, *extra):
         trainable, rebuild = split_a(a_params)
         trainable, opt_state, loss_dict = _step(trainable, opt_state, rng,
-                                                *extra)
+                                                models_arrays, *extra)
         return rebuild(trainable), opt_state, loss_dict
 
     return step
