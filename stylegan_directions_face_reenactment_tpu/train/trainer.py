@@ -129,8 +129,10 @@ class Trainer:
         from ..models.stylegan2 import n_latent_for
         from ..pipeline.synthesis import generate_image
         from ..utils.image_utils import generate_grid_image
-        from .steps import _a_apply
+        from .steps import _a_apply, merge_statics, strip_statics
         from PIL import Image
+
+        models_arrays, models_statics = strip_statics(self.models)
 
         if method == "paired":
             ds = CustomDatasetPairedValidation(args.test_dataset_path,
@@ -148,58 +150,61 @@ class Trainer:
         loader = Loader(ds, bs, shuffle=False, drop_last=True)
 
         @jax.jit
-        def eval_batch_paired(a_train, source_w, source_img, target_img):
+        def eval_batch_paired(a_train, models_arr, source_w, source_img,
+                              target_img):
             """Paired eval (`utils_train.py` evaluate_model_reenactment_video):
             DECA on the REAL frames; reenact from the source code; metrics vs
             the real target frame."""
+            models = merge_statics(models_arr, models_statics)
             params_source, angles_source = calculate_shapemodel(
-                self.models.deca, source_img)
+                models.deca, source_img)
             params_target, angles_target = calculate_shapemodel(
-                self.models.deca, target_img)
+                models.deca, target_img)
             sv = make_shift_vector(self.spec, params_source, params_target,
                                    angles_source, angles_target)
             shift = _a_apply(a_train, sv, args)
             imgs_shifted, _ = generate_image(
-                self.models.generator, source_w, truncation=args.truncation,
-                truncation_latent=self.models.truncation_latent,
+                models.generator, source_w, truncation=args.truncation,
+                truncation_latent=models.truncation_latent,
                 shift_code=shift, input_is_latent=True,
                 return_latents=True, num_layers_shift=args.num_layers_shift,
                 w_plus=args.w_plus)
             params_shifted, angles_shifted = calculate_shapemodel(
-                self.models.deca, imgs_shifted)
+                models.deca, imgs_shifted)
             csim, pose_err, exp_err = extract_evaluation_metrics(
-                self.spec, self.models.id_backbone, params_shifted,
+                self.spec, models.id_backbone, params_shifted,
                 params_target, angles_shifted, angles_target, imgs_shifted,
                 source_img)
             return csim, pose_err, exp_err, source_img, target_img, imgs_shifted
 
         @jax.jit
-        def eval_batch(a_train, source_w, target_w):
+        def eval_batch(a_train, models_arr, source_w, target_w):
+            models = merge_statics(models_arr, models_statics)
             imgs_source, _ = generate_image(
-                self.models.generator, source_w, truncation=args.truncation,
-                truncation_latent=self.models.truncation_latent,
+                models.generator, source_w, truncation=args.truncation,
+                truncation_latent=models.truncation_latent,
                 input_is_latent=input_is_latent, return_latents=True)
             params_source, angles_source = calculate_shapemodel(
-                self.models.deca, imgs_source)
+                models.deca, imgs_source)
             imgs_target = generate_image(
-                self.models.generator, target_w, truncation=args.truncation,
-                truncation_latent=self.models.truncation_latent,
+                models.generator, target_w, truncation=args.truncation,
+                truncation_latent=models.truncation_latent,
                 input_is_latent=target_is_latent)
             params_target, angles_target = calculate_shapemodel(
-                self.models.deca, imgs_target)
+                models.deca, imgs_target)
             sv = make_shift_vector(self.spec, params_source, params_target,
                                    angles_source, angles_target)
             shift = _a_apply(a_train, sv, args)
             imgs_shifted, _ = generate_image(
-                self.models.generator, source_w, truncation=args.truncation,
-                truncation_latent=self.models.truncation_latent,
+                models.generator, source_w, truncation=args.truncation,
+                truncation_latent=models.truncation_latent,
                 shift_code=shift, input_is_latent=input_is_latent,
                 return_latents=True, num_layers_shift=args.num_layers_shift,
                 w_plus=args.w_plus)
             params_shifted, angles_shifted = calculate_shapemodel(
-                self.models.deca, imgs_shifted)
+                models.deca, imgs_shifted)
             csim, pose_err, exp_err = extract_evaluation_metrics(
-                self.spec, self.models.id_backbone, params_shifted,
+                self.spec, models.id_backbone, params_shifted,
                 params_target, angles_shifted, angles_target, imgs_shifted,
                 imgs_source)
             return csim, pose_err, exp_err, imgs_source, imgs_target, imgs_shifted
@@ -214,13 +219,15 @@ class Trainer:
                 # (`dataloader_paired.py:151-275`); metrics vs the real
                 # target frame like evaluate_model_reenactment_video
                 csim, pe, ee, src, tgt, ren = eval_batch_paired(
-                    a_train, jnp.asarray(batch["source_latent_code"]),
+                    a_train, models_arrays,
+                    jnp.asarray(batch["source_latent_code"]),
                     jnp.asarray(batch["source_img"]),
                     jnp.asarray(batch["target_img"]))
             else:
                 sw = jnp.asarray(batch["source_w"])
                 tw = jnp.asarray(batch["target_w"])
-                csim, pe, ee, src, tgt, ren = eval_batch(a_train, sw, tw)
+                csim, pe, ee, src, tgt, ren = eval_batch(a_train,
+                                                         models_arrays, sw, tw)
             csims.append(float(csim))
             poses.append(float(pe))
             exps.append(float(ee))
