@@ -133,6 +133,9 @@ class Trainer:
         from PIL import Image
 
         models_arrays, models_statics = strip_statics(self.models)
+        # jitted eval programs are built once per Trainer (retracing them on
+        # every evaluate() call would recompile each eval cadence)
+        cached = getattr(self, "_eval_fns", None)
 
         if method == "paired":
             ds = CustomDatasetPairedValidation(args.test_dataset_path,
@@ -208,6 +211,11 @@ class Trainer:
                 params_target, angles_shifted, angles_target, imgs_shifted,
                 imgs_source)
             return csim, pose_err, exp_err, imgs_source, imgs_target, imgs_shifted
+
+        if cached is None:
+            self._eval_fns = (eval_batch_paired, eval_batch)
+        else:
+            eval_batch_paired, eval_batch = cached
 
         from .steps import split_a
         a_train, _ = split_a(a_params)
