@@ -17,6 +17,7 @@ from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.nn import conv2d, max_pool2d, relu
 
@@ -29,8 +30,9 @@ ALEX_CONVS = ((64, 11, 4, 2), (192, 5, 1, 2), (384, 3, 1, 1),
 ALEX_POOL_AFTER = (0, 1, 4)
 N_CHANNELS = (64, 192, 384, 256, 256)
 
-_MEAN = jnp.asarray([-0.030, -0.088, -0.188])
-_STD = jnp.asarray([0.458, 0.448, 0.450])
+# plain numpy: module import must not initialize a JAX backend
+_MEAN = np.asarray([-0.030, -0.088, -0.188], np.float32)
+_STD = np.asarray([0.458, 0.448, 0.450], np.float32)
 
 
 def init_lpips_alex(key) -> Params:

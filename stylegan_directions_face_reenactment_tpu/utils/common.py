@@ -11,6 +11,32 @@ import jax
 import jax.numpy as jnp
 
 
+def jit_build(build_fn, *args):
+    """Run a model-building function as ONE jitted program.
+
+    Random-init of a full model issues hundreds of tiny eager ops (one per
+    leaf), each paying a dispatch+compile round-trip — ~2 min for the frozen
+    zoo on a tunneled TPU or an 8-virtual-device CPU. Fusing the whole init
+    into a single XLA program makes it one compile + one execution.
+
+    Static 'meta'/'_meta' leaves (python ints/bools) must not become traced
+    arrays, so they are stripped inside the trace (a trace-time side
+    effect captures them) and re-merged onto the result.
+    """
+    from ..train.steps import merge_statics, strip_statics
+
+    box = {}
+
+    @jax.jit
+    def _build(*a):
+        arrays, statics = strip_statics(build_fn(*a))
+        box["statics"] = statics
+        return arrays
+
+    arrays = _build(*args)
+    return merge_statics(arrays, box["statics"])
+
+
 def make_noise(key: jax.Array, batch: int, dim: int) -> jnp.ndarray:
     """Standard-normal z batch (`utils.py:54-60`; RNG is an explicit key)."""
     return jax.random.normal(key, (batch, dim))

@@ -25,9 +25,15 @@ except Exception:  # pragma: no cover - cpu backend always exists
     pass
 
 # Persistent compilation cache: the big train-step graphs take minutes to
-# compile on the single test CPU; cache them across pytest sessions.
+# compile on the single test CPU; cache them across pytest sessions. The
+# directory is keyed by host CPU flags — XLA:CPU AOT artifacts are
+# machine-specific and loading another machine's can SIGILL/hang
+# (utils/jax_cache.py).
 try:
-    _cache_dir = os.path.expanduser("~/.cache/reenact_tpu_xla_tests")
+    from stylegan_directions_face_reenactment_tpu.utils.jax_cache import (
+        _machine_tag)
+    _cache_dir = os.path.expanduser(
+        f"~/.cache/reenact_tpu_xla_tests-{_machine_tag()}")
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
