@@ -41,7 +41,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_steps", type=int, default=100_000)
     p.add_argument("--random_init", action="store_true",
                    help="random-init frozen models (smoke test; no ckpts)")
+    p.add_argument("--deca_alignment", default="fan",
+                   choices=["fan", "resize"],
+                   help="DECA preprocessing on the training path: 'fan' = "
+                        "reference FAN-warp (datasets.py:57-86), 'resize' = "
+                        "plain bilinear (faster)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_evaluation", action="store_true",
+                   help="disable the eval cadence (smoke runs without a "
+                        "validation set)")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="data-parallel device count: builds a "
+                        "jax.sharding.Mesh, replicates the frozen zoo and "
+                        "shards batches on axis 0 (parallel/mesh.py); "
+                        "default = single device")
     return p
 
 
@@ -52,8 +65,8 @@ def main(argv=None):
     args_ns = build_parser().parse_args(argv)
     from ..configs.arguments import TrainingArguments
     from ..train import FrozenModels, Trainer
-    from .model_loading import (compute_trunc, load_deca, load_generator,
-                                load_id_backbone, load_lpips)
+    from .model_loading import (compute_trunc, load_deca, load_face_models,
+                                load_generator, load_id_backbone, load_lpips)
 
     targs = TrainingArguments(
         experiment_path=(f"{args_ns.experiment_path}_"
@@ -68,16 +81,27 @@ def main(argv=None):
         test_dataset_path=args_ns.test_dataset_path,
         resume_training_model=args_ns.resume_training_model,
         use_wandb=args_ns.use_wandb, workers=args_ns.workers,
+        log_images_wandb=args_ns.log_images_wandb,
+        deca_alignment=args_ns.deca_alignment,
+        evaluation=not args_ns.no_evaluation,
     )
 
-    g = load_generator(targs.dataset_type, random_init=args_ns.random_init)
+    g = load_generator(targs.dataset_type, random_init=args_ns.random_init,
+                       resolution=targs.image_resolution)
     deca = load_deca(random_init=args_ns.random_init)
     idb = load_id_backbone(random_init=args_ns.random_init)
     lp = load_lpips(random_init=args_ns.random_init)
     trunc = compute_trunc(g)
-    models = FrozenModels(g, deca, idb, lp, trunc)
+    fan = None
+    if targs.deca_alignment == "fan":
+        _, fan = load_face_models(random_init=args_ns.random_init)
+    models = FrozenModels(g, deca, idb, lp, trunc, fan)
 
-    trainer = Trainer(targs, models)
+    mesh = None
+    if args_ns.n_devices is not None and args_ns.n_devices > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh(args_ns.n_devices)
+    trainer = Trainer(targs, models, mesh=mesh)
     rng = jax.random.PRNGKey(args_ns.seed)
     if targs.training_method == "synthetic":
         trainer.train(rng)

@@ -31,12 +31,30 @@ Params = Dict[str, Any]
 
 
 class FrozenModels(NamedTuple):
-    """The frozen model zoo closed over by the jitted steps."""
+    """The frozen model zoo closed over by the jitted steps.
+
+    ``fan`` (optional) enables the reference's DECA preprocessing — FAN
+    landmarks → bbox → similarity warp to 224
+    (`decalib/datasets/datasets.py:57-86`) — on every shape-model call;
+    when None, DECA consumes a plain bilinear resize."""
     generator: Params
     deca: Params
     id_backbone: Params
     lpips: Params
     truncation_latent: jnp.ndarray
+    fan: Optional[Params] = None
+
+
+def make_align_fn(models: FrozenModels, args: TrainingArguments):
+    """DECA alignment for the training/eval paths: the reference FAN-warps
+    every image before DECA (`datasets.py:57-86`); `args.deca_alignment`
+    picks 'fan' (default, needs models.fan) or 'resize' (fast path)."""
+    if getattr(args, "deca_alignment", "fan") != "fan":
+        return None
+    if getattr(models, "fan", None) is None:
+        return None
+    from ..pipeline.alignment import make_fan_align
+    return make_fan_align(models.fan)
 
 
 def make_optimizer(args: TrainingArguments) -> optax.GradientTransformation:
@@ -152,34 +170,54 @@ def _shift_and_indices(spec, args, params_source, params_target,
     return sv, jnp.zeros((angles_source.shape[0] // 2,), jnp.int32)
 
 
+def _batch_constrainer(mesh):
+    """Sharding constraint pinning axis 0 to the mesh's data axis — makes
+    device-sampled batches (z draws) actually shard instead of relying on
+    the propagation pass. Identity when no mesh is given."""
+    if mesh is None:
+        return lambda x: x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import DATA_AXIS
+    s = NamedSharding(mesh, P(DATA_AXIS))
+    return lambda x: jax.lax.with_sharding_constraint(x, s)
+
+
 def make_synthetic_step(models: FrozenModels, spec: DirectionsSpec,
                         args: TrainingArguments,
-                        tx: optax.GradientTransformation) -> Callable:
+                        tx: optax.GradientTransformation,
+                        mesh=None) -> Callable:
     """`Trainer.train()` step (`trainer.py:151-189`): z-sampled source and
     target, losses vs the source image + gt-reenacted shape."""
     lambdas = _lambdas(args)
     models_arrays, models_statics = strip_statics(models)
+    constrain = _batch_constrainer(mesh)
 
     @jax.jit
     def _step(trainable: Params, opt_state, rng: jax.Array,
               models_arrays: FrozenModels):
         models = merge_statics(models_arrays, models_statics)
+        align = make_align_fn(models, args)
+
+        def shapemodel(imgs):
+            return calculate_shapemodel(models.deca, imgs, align_fn=align,
+                                        image_size=args.deca_image_size)
+
         k_src, k_tgt, k_dir = jax.random.split(rng, 3)
-        z_src = jax.random.normal(k_src, (args.batch_size, args.dim_z))
-        z_tgt = jax.random.normal(k_tgt, (args.batch_size, args.dim_z))
+        z_src = constrain(jax.random.normal(k_src,
+                                            (args.batch_size, args.dim_z)))
+        z_tgt = constrain(jax.random.normal(k_tgt,
+                                            (args.batch_size, args.dim_z)))
 
         imgs_source, _ = generate_image(
             models.generator, z_src, truncation=args.truncation,
             truncation_latent=models.truncation_latent, return_latents=True)
         imgs_source = jax.lax.stop_gradient(imgs_source)
-        params_source, angles_source = calculate_shapemodel(
-            models.deca, imgs_source)
+        params_source, angles_source = shapemodel(imgs_source)
 
         imgs_target = jax.lax.stop_gradient(generate_image(
             models.generator, z_tgt, truncation=args.truncation,
             truncation_latent=models.truncation_latent))
-        params_target, angles_target = calculate_shapemodel(
-            models.deca, imgs_target)
+        params_target, angles_target = shapemodel(imgs_target)
 
         params_source = jax.lax.stop_gradient(params_source)
         params_target = jax.lax.stop_gradient(params_target)
@@ -197,7 +235,7 @@ def make_synthetic_step(models: FrozenModels, spec: DirectionsSpec,
                 truncation_latent=models.truncation_latent, shift_code=shift,
                 input_is_latent=False, return_latents=True,
                 num_layers_shift=args.num_layers_shift, w_plus=args.w_plus)
-            params_shifted, _ = calculate_shapemodel(models.deca, imgs_shifted)
+            params_shifted, _ = shapemodel(imgs_shifted)
             return calculate_losses(
                 models.deca, models.id_backbone, models.lpips, spec, lambdas,
                 params_source, angles_source, params_shifted, params_target,
@@ -222,19 +260,26 @@ def make_synthetic_step(models: FrozenModels, spec: DirectionsSpec,
 def make_real_step(models: FrozenModels, spec: DirectionsSpec,
                    args: TrainingArguments,
                    tx: optax.GradientTransformation,
-                   synthetic_half: bool = False) -> Callable:
+                   synthetic_half: bool = False, mesh=None) -> Callable:
     """`Trainer.train_real()` step (`trainer.py:247-308`): source = real
     inverted W+ codes (+ optional synthetic half for 'real_synthetic'),
     target = random z."""
     lambdas = _lambdas(args)
     models_arrays, models_statics = strip_statics(models)
     n_lat = n_latent_for(args.image_resolution)
+    constrain = _batch_constrainer(mesh)
 
     @jax.jit
     def _step(trainable: Params, opt_state, rng: jax.Array,
               models_arrays: FrozenModels,
               source_w: jnp.ndarray, source_real_img: jnp.ndarray):
         models = merge_statics(models_arrays, models_statics)
+        align = make_align_fn(models, args)
+
+        def shapemodel(imgs):
+            return calculate_shapemodel(models.deca, imgs, align_fn=align,
+                                        image_size=args.deca_image_size)
+
         k_tgt, k_dir, k_syn = jax.random.split(rng, 3)
 
         if synthetic_half:
@@ -251,14 +296,15 @@ def make_real_step(models: FrozenModels, spec: DirectionsSpec,
                                               axis=0)
 
         params_source, angles_source = jax.lax.stop_gradient(
-            calculate_shapemodel(models.deca, source_real_img))
+            shapemodel(source_real_img))
 
-        z_tgt = jax.random.normal(k_tgt, (args.batch_size, args.dim_z))
+        z_tgt = constrain(jax.random.normal(k_tgt,
+                                            (args.batch_size, args.dim_z)))
         imgs_target = jax.lax.stop_gradient(generate_image(
             models.generator, z_tgt, truncation=args.truncation,
             truncation_latent=models.truncation_latent))
         params_target, angles_target = jax.lax.stop_gradient(
-            calculate_shapemodel(models.deca, imgs_target))
+            shapemodel(imgs_target))
 
         shift_vector, target_indices = _shift_and_indices(
             spec, args, params_source, params_target, angles_source,
@@ -271,7 +317,7 @@ def make_real_step(models: FrozenModels, spec: DirectionsSpec,
                 truncation_latent=models.truncation_latent, shift_code=shift,
                 input_is_latent=True, return_latents=True,
                 num_layers_shift=args.num_layers_shift, w_plus=args.w_plus)
-            params_shifted, _ = calculate_shapemodel(models.deca, imgs_shifted)
+            params_shifted, _ = shapemodel(imgs_shifted)
             return calculate_losses(
                 models.deca, models.id_backbone, models.lpips, spec, lambdas,
                 params_source, angles_source, params_shifted, params_target,
@@ -295,7 +341,7 @@ def make_real_step(models: FrozenModels, spec: DirectionsSpec,
 
 def make_paired_step(models: FrozenModels, spec: DirectionsSpec,
                      args: TrainingArguments,
-                     tx: optax.GradientTransformation) -> Callable:
+                     tx: optax.GradientTransformation, mesh=None) -> Callable:
     """`Trainer.train_paired()` step (`trainer.py:349-397`): same-video
     source/target frame pairs; losses vs the real target frame."""
     lambdas = _lambdas(args)
@@ -307,10 +353,16 @@ def make_paired_step(models: FrozenModels, spec: DirectionsSpec,
               source_w: jnp.ndarray, source_img: jnp.ndarray,
               target_w: jnp.ndarray, target_img: jnp.ndarray):
         models = merge_statics(models_arrays, models_statics)
+        align = make_align_fn(models, args)
+
+        def shapemodel(imgs):
+            return calculate_shapemodel(models.deca, imgs, align_fn=align,
+                                        image_size=args.deca_image_size)
+
         params_source, angles_source = jax.lax.stop_gradient(
-            calculate_shapemodel(models.deca, source_img))
+            shapemodel(source_img))
         params_target, angles_target = jax.lax.stop_gradient(
-            calculate_shapemodel(models.deca, target_img))
+            shapemodel(target_img))
 
         shift_vector = make_shift_vector(spec, params_source, params_target,
                                          angles_source, angles_target)
@@ -322,7 +374,7 @@ def make_paired_step(models: FrozenModels, spec: DirectionsSpec,
                 truncation_latent=models.truncation_latent, shift_code=shift,
                 input_is_latent=True, return_latents=True,
                 num_layers_shift=args.num_layers_shift, w_plus=args.w_plus)
-            params_shifted, _ = calculate_shapemodel(models.deca, imgs_shifted)
+            params_shifted, _ = shapemodel(imgs_shifted)
             return calculate_losses_paired(
                 models.deca, models.id_backbone, models.lpips, lambdas,
                 params_shifted, params_target, imgs_shifted, target_img,

@@ -8,8 +8,10 @@ every epoch to resample pairs (`trainer.py:398-404`).
 
 Device work happens in the jitted step functions (`train/steps.py`);
 this class only moves host data and bookkeeping. Multi-chip scaling: pass
-a mesh and batches are sharded on axis 0 with params replicated
-(`parallel/mesh.py`).
+a `jax.sharding.Mesh` (see `parallel/mesh.py::make_mesh`) and the frozen
+zoo, A, and optimizer state are replicated over it while every host batch
+is sharded on axis 0; gradient reduction rides ICI via the psum XLA
+inserts for the replicated grad out-sharding.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ from ..data.datasets import (CustomDataset, CustomDatasetPaired,
                              CustomDatasetTestsetSynthetic, Loader)
 from ..geometry.directions import DirectionsSpec, initialize_directions
 from ..models.direction_matrix import init_direction_matrix
+from ..parallel.mesh import replicate, shard_batch
 from .checkpoints import save_a_matrix, start_from_checkpoint
 from .eval import extract_evaluation_metrics
 from .steps import (FrozenModels, make_optimizer, make_paired_step,
@@ -45,11 +48,17 @@ class Trainer:
                  spec: Optional[DirectionsSpec] = None,
                  mesh=None, log_fn: Callable[[str], None] = print):
         self.args = args
-        self.models = models
         self.spec = spec or initialize_directions(
             args.dataset_type, args.learned_directions, args.shift_scale)
         self.mesh = mesh
         self.log_fn = log_fn
+        if mesh is not None:
+            if args.batch_size % mesh.size != 0:
+                raise ValueError(
+                    f"batch_size {args.batch_size} must divide the mesh "
+                    f"({mesh.size} devices) for data-parallel training")
+            models = type(models)(*replicate(mesh, tuple(models)))
+        self.models = models
 
         self.output_path = args.experiment_path
         self.models_dir = os.path.join(self.output_path, "models")
@@ -74,6 +83,21 @@ class Trainer:
             rng, 512, self.args.learned_directions, w_plus=self.args.w_plus,
             num_layers=self.args.num_layers_shift)
         return 0, a
+
+    # ---- multi-device placement --------------------------------------
+    def _rep(self, tree):
+        """Replicate a pytree over the mesh (identity when single-device)."""
+        return replicate(self.mesh, tree) if self.mesh is not None else tree
+
+    def _batch(self, x) -> jnp.ndarray:
+        """Host batch → device: axis 0 sharded over the mesh when the
+        size divides it, replicated otherwise (small eval remainders)."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        arr = np.asarray(x)
+        if arr.shape[0] % self.mesh.size == 0:
+            return shard_batch(self.mesh, arr)
+        return replicate(self.mesh, arr)
 
     def _log(self, step: int, loss_dict: Dict[str, jnp.ndarray],
              mean_loss: float, epoch: Optional[int] = None):
@@ -129,7 +153,8 @@ class Trainer:
         from ..models.stylegan2 import n_latent_for
         from ..pipeline.synthesis import generate_image
         from ..utils.image_utils import generate_grid_image
-        from .steps import _a_apply, merge_statics, strip_statics
+        from .steps import (_a_apply, make_align_fn, merge_statics,
+                            strip_statics)
         from PIL import Image
 
         models_arrays, models_statics = strip_statics(self.models)
@@ -159,10 +184,14 @@ class Trainer:
             DECA on the REAL frames; reenact from the source code; metrics vs
             the real target frame."""
             models = merge_statics(models_arr, models_statics)
-            params_source, angles_source = calculate_shapemodel(
-                models.deca, source_img)
-            params_target, angles_target = calculate_shapemodel(
-                models.deca, target_img)
+            align = make_align_fn(models, args)
+
+            def shapemodel(imgs):
+                return calculate_shapemodel(models.deca, imgs, align_fn=align,
+                                            image_size=args.deca_image_size)
+
+            params_source, angles_source = shapemodel(source_img)
+            params_target, angles_target = shapemodel(target_img)
             sv = make_shift_vector(self.spec, params_source, params_target,
                                    angles_source, angles_target)
             shift = _a_apply(a_train, sv, args)
@@ -172,8 +201,7 @@ class Trainer:
                 shift_code=shift, input_is_latent=True,
                 return_latents=True, num_layers_shift=args.num_layers_shift,
                 w_plus=args.w_plus)
-            params_shifted, angles_shifted = calculate_shapemodel(
-                models.deca, imgs_shifted)
+            params_shifted, angles_shifted = shapemodel(imgs_shifted)
             csim, pose_err, exp_err = extract_evaluation_metrics(
                 self.spec, models.id_backbone, params_shifted,
                 params_target, angles_shifted, angles_target, imgs_shifted,
@@ -183,18 +211,22 @@ class Trainer:
         @jax.jit
         def eval_batch(a_train, models_arr, source_w, target_w):
             models = merge_statics(models_arr, models_statics)
+            align = make_align_fn(models, args)
+
+            def shapemodel(imgs):
+                return calculate_shapemodel(models.deca, imgs, align_fn=align,
+                                            image_size=args.deca_image_size)
+
             imgs_source, _ = generate_image(
                 models.generator, source_w, truncation=args.truncation,
                 truncation_latent=models.truncation_latent,
                 input_is_latent=input_is_latent, return_latents=True)
-            params_source, angles_source = calculate_shapemodel(
-                models.deca, imgs_source)
+            params_source, angles_source = shapemodel(imgs_source)
             imgs_target = generate_image(
                 models.generator, target_w, truncation=args.truncation,
                 truncation_latent=models.truncation_latent,
                 input_is_latent=target_is_latent)
-            params_target, angles_target = calculate_shapemodel(
-                models.deca, imgs_target)
+            params_target, angles_target = shapemodel(imgs_target)
             sv = make_shift_vector(self.spec, params_source, params_target,
                                    angles_source, angles_target)
             shift = _a_apply(a_train, sv, args)
@@ -204,8 +236,7 @@ class Trainer:
                 shift_code=shift, input_is_latent=input_is_latent,
                 return_latents=True, num_layers_shift=args.num_layers_shift,
                 w_plus=args.w_plus)
-            params_shifted, angles_shifted = calculate_shapemodel(
-                models.deca, imgs_shifted)
+            params_shifted, angles_shifted = shapemodel(imgs_shifted)
             csim, pose_err, exp_err = extract_evaluation_metrics(
                 self.spec, models.id_backbone, params_shifted,
                 params_target, angles_shifted, angles_target, imgs_shifted,
@@ -219,6 +250,7 @@ class Trainer:
 
         from .steps import split_a
         a_train, _ = split_a(a_params)
+        a_train = self._rep(a_train)
         csims, poses, exps = [], [], []
         fig = None
         for bi, batch in enumerate(loader):
@@ -228,12 +260,12 @@ class Trainer:
                 # target frame like evaluate_model_reenactment_video
                 csim, pe, ee, src, tgt, ren = eval_batch_paired(
                     a_train, models_arrays,
-                    jnp.asarray(batch["source_latent_code"]),
-                    jnp.asarray(batch["source_img"]),
-                    jnp.asarray(batch["target_img"]))
+                    self._batch(batch["source_latent_code"]),
+                    self._batch(batch["source_img"]),
+                    self._batch(batch["target_img"]))
             else:
-                sw = jnp.asarray(batch["source_w"])
-                tw = jnp.asarray(batch["target_w"])
+                sw = self._batch(batch["source_w"])
+                tw = self._batch(batch["target_w"])
                 csim, pe, ee, src, tgt, ren = eval_batch(a_train,
                                                          models_arrays, sw, tw)
             csims.append(float(csim))
@@ -250,6 +282,7 @@ class Trainer:
         if save_figure and fig is not None:
             Image.fromarray(fig).save(
                 os.path.join(self.images_dir, f"{step:04d}_reenactment.png"))
+        gif_frames = None
         if self.args.gif:
             # per-direction interpolation GIF (`utils_train.py:648-693`
             # log_interpolation / `visualization.py:21-73`)
@@ -259,18 +292,34 @@ class Trainer:
             w = mapping(self.models.generator, z)
             lat = jnp.repeat(w[:, None],
                              n_latent_for(args.image_resolution), axis=1)
-            frames = make_interpolation_chart(
+            gif_frames = make_interpolation_chart(
                 self.models.generator, a_params, lat,
                 truncation=args.truncation,
                 truncation_latent=self.models.truncation_latent,
                 num_layers_shift=args.num_layers_shift,
                 directions=list(range(min(4, args.learned_directions))),
                 shift_scale=args.shift_scale, steps=2)
-            save_gif(frames, os.path.join(self.images_dir,
-                                          f"{step:04d}_directions.gif"))
+            save_gif(gif_frames, os.path.join(self.images_dir,
+                                              f"{step:04d}_directions.gif"))
         self.metrics_log.append({"step": step, **metrics})
         with open(os.path.join(self.logs_dir, "eval_metrics.json"), "w") as f:
             json.dump(self.metrics_log, f, indent=2)
+        if self.args.use_wandb:
+            # scalar + image logging parity (`utils_train.py:790-794`
+            # reenactment grid, `:865-869` interpolation frames)
+            try:
+                import wandb
+                payload = {f"eval/{k}": v for k, v in metrics.items()}
+                payload["step"] = step
+                if self.args.log_images_wandb:
+                    if fig is not None:
+                        payload["eval/reenactment"] = wandb.Image(fig)
+                    if gif_frames:
+                        payload["eval/interpolation"] = [
+                            wandb.Image(np.asarray(f)) for f in gif_frames]
+                wandb.log(payload)
+            except ImportError:
+                pass  # wandb not installed; on-disk artifacts stand in
         self.log_fn(f"[eval step {step}] CSIM {metrics['csim']:.4f} | "
                     f"pose {metrics['pose_error']:.3f}° | "
                     f"exp {metrics['expression_error']:.4f}")
@@ -281,12 +330,14 @@ class Trainer:
               n_steps: Optional[int] = None) -> Params:
         """Synthetic method (`trainer.py:135-199`)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng = self._rep(rng)
         rng, k_init = jax.random.split(rng)
         start_step, a_params = self._init_a(k_init)
+        a_params = self._rep(a_params)
         from .steps import split_a
         opt_state = self.tx.init(split_a(a_params)[0])
         step_fn = make_synthetic_step(self.models, self.spec, self.args,
-                                      self.tx)
+                                      self.tx, mesh=self.mesh)
         losses = []
         total = n_steps if n_steps is not None else self.args.n_steps
         for step in range(start_step, total):
@@ -307,15 +358,17 @@ class Trainer:
         if args.train_dataset_path is None:
             raise ValueError("train_dataset_path required for method 'real'")
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng = self._rep(rng)
         rng, k_init = jax.random.split(rng)
         start_step, a_params = self._init_a(k_init)
+        a_params = self._rep(a_params)
         from .steps import split_a
         opt_state = self.tx.init(split_a(a_params)[0])
 
         synthetic_half = args.training_method == "real_synthetic"
         batch_local = args.batch_size // 2 if synthetic_half else args.batch_size
         step_fn = make_real_step(self.models, self.spec, args, self.tx,
-                                 synthetic_half=synthetic_half)
+                                 synthetic_half=synthetic_half, mesh=self.mesh)
 
         dataset = CustomDataset(args.train_dataset_path,
                                 image_size=args.image_resolution)
@@ -330,8 +383,8 @@ class Trainer:
             for batch in loader:
                 rng, k = jax.random.split(rng)
                 a_params, opt_state, loss_dict = step_fn(
-                    a_params, opt_state, k, jnp.asarray(batch["w"]),
-                    jnp.asarray(batch["real_img"]))
+                    a_params, opt_state, k, self._batch(batch["w"]),
+                    self._batch(batch["real_img"]))
                 losses.append(float(loss_dict["loss"]))
                 self._log(global_step, loss_dict, float(np.mean(losses)), epoch)
                 if global_step % 500 == 0 and global_step > 0:
@@ -348,11 +401,14 @@ class Trainer:
         if args.train_dataset_path is None:
             raise ValueError("train_dataset_path required for method 'paired'")
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        rng = self._rep(rng)
         rng, k_init = jax.random.split(rng)
         start_step, a_params = self._init_a(k_init)
+        a_params = self._rep(a_params)
         from .steps import split_a
         opt_state = self.tx.init(split_a(a_params)[0])
-        step_fn = make_paired_step(self.models, self.spec, args, self.tx)
+        step_fn = make_paired_step(self.models, self.spec, args, self.tx,
+                                   mesh=self.mesh)
 
         dataset = CustomDatasetPaired(args.train_dataset_path, max_pairs=2,
                                       image_size=args.image_resolution)
@@ -369,10 +425,10 @@ class Trainer:
                 rng, k = jax.random.split(rng)
                 a_params, opt_state, loss_dict = step_fn(
                     a_params, opt_state, k,
-                    jnp.asarray(batch["source_latent_code"]),
-                    jnp.asarray(batch["source_img"]),
-                    jnp.asarray(batch["target_latent_code"]),
-                    jnp.asarray(batch["target_img"]))
+                    self._batch(batch["source_latent_code"]),
+                    self._batch(batch["source_img"]),
+                    self._batch(batch["target_latent_code"]),
+                    self._batch(batch["target_img"]))
                 losses.append(float(loss_dict["loss"]))
                 self._log(global_step, loss_dict, float(np.mean(losses)), epoch)
                 if global_step % 500 == 0 and global_step > 0:
