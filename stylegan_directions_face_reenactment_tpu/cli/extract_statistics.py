@@ -21,6 +21,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--truncation", type=float, default=0.7)
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--deca_alignment", default="fan",
+                   choices=["fan", "resize"],
+                   help="DECA preprocessing: 'fan' = reference FAN-warp, "
+                        "'resize' = plain bilinear")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -33,21 +37,35 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from ..models.deca import calculate_shapemodel
+    from ..pipeline.reenactment import align_for
     from ..pipeline.synthesis import generate_image
-    from .model_loading import compute_trunc, load_deca, load_generator
+    from .model_loading import (compute_trunc, load_deca, load_face_models,
+                                load_generator)
 
     g = load_generator(args.dataset_type, random_init=args.random_init)
     deca = load_deca(random_init=args.random_init)
     trunc = compute_trunc(g)
+    fan_deca = None
+    if args.deca_alignment == "fan":
+        _, fan_deca = load_face_models(random_init=args.random_init)
+
+    # weights as jit arguments, not closure constants (remote-compile limit)
+    from ..train.steps import merge_statics, strip_statics
+    weights, statics = strip_statics((g, deca, fan_deca, trunc))
 
     @jax.jit
-    def batch_stats(z):
-        imgs = generate_image(g, z, truncation=args.truncation,
-                              truncation_latent=trunc)
-        params, angles = calculate_shapemodel(deca, imgs)
+    def _batch_stats(weights, z):
+        g_p, deca_p, fan_p, trunc_p = merge_statics(weights, statics)
+        imgs = generate_image(g_p, z, truncation=args.truncation,
+                              truncation_latent=trunc_p)
+        params, angles = calculate_shapemodel(deca_p, imgs,
+                                              align_fn=align_for(fan_p))
         # rows: yaw, pitch, roll, jaw, exp_0..exp_49  → (B, 54)
         return jnp.concatenate([angles, params["pose"][:, 3:4],
                                 params["alpha_exp"]], axis=1)
+
+    def batch_stats(z):
+        return _batch_stats(weights, z)
 
     rng = jax.random.PRNGKey(args.seed)
     rows = []

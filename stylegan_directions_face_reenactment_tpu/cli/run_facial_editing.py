@@ -29,6 +29,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset_type", default="voxceleb")
     p.add_argument("--shifts_count", type=int, default=10)
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--image_resolution", type=int, default=None,
+                   help="override the dataset's generator resolution "
+                        "(random_init smoke runs)")
+    p.add_argument("--skip_preprocess", action="store_true",
+                   help="source image is already an FFHQ-cropped face: "
+                        "bypass detection/landmark cropping")
+    p.add_argument("--deca_alignment", default="fan",
+                   choices=["fan", "resize"],
+                   help="DECA preprocessing: 'fan' = reference FAN-warp "
+                        "(decalib/datasets/datasets.py:57-86), 'resize' = "
+                        "plain bilinear")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -52,12 +63,16 @@ def main(argv=None):
                                 load_direction_matrix, load_e4e,
                                 load_face_models, load_generator, load_lpips)
 
-    g = load_generator(args.dataset_type, random_init=args.random_init)
+    g = load_generator(args.dataset_type, random_init=args.random_init,
+                       resolution=args.image_resolution)
     a = load_direction_matrix(args.dataset_type, random_init=args.random_init)
     deca = load_deca(random_init=args.random_init)
     spec = initialize_directions(args.dataset_type, 15, 6.0)
     trunc = compute_trunc(g)
     size = g["meta"]["size"]
+    fan_deca = None
+    if args.deca_alignment == "fan":
+        _, fan_deca = load_face_models(random_init=args.random_init)
 
     # --- source latent ------------------------------------------------
     if args.source_path is None:
@@ -76,12 +91,22 @@ def main(argv=None):
                                     truncation_latent=trunc,
                                     input_is_latent=True)
     else:
-        e4e = load_e4e(args.dataset_type, random_init=args.random_init)
-        sfd, fan = load_face_models(random_init=args.random_init)
-        batch, ok = preprocess_images(sfd, fan, [load_image(args.source_path)])
-        if not ok[0]:
-            raise RuntimeError("no face detected in source image")
-        source_img = jnp.asarray(batch[:1])
+        e4e = load_e4e(args.dataset_type, random_init=args.random_init,
+                       resolution=args.image_resolution)
+        if args.skip_preprocess:
+            from ..native.imgproc import resize_bilinear_u8
+            from ..pipeline.preprocess import to_gan_range
+            im = resize_bilinear_u8(
+                load_image(args.source_path)[None].astype(np.uint8),
+                (size, size))
+            source_img = jnp.asarray(to_gan_range(im))
+        else:
+            sfd, fan = load_face_models(random_init=args.random_init)
+            batch, ok = preprocess_images(sfd, fan,
+                                          [load_image(args.source_path)])
+            if not ok[0]:
+                raise RuntimeError("no face detected in source image")
+            source_img = jnp.asarray(batch[:1])
         _, source_code = invert_image(source_img, e4e, g, truncation=0.7,
                                       truncation_latent=trunc)
         if args.optimize_generator:
@@ -89,7 +114,9 @@ def main(argv=None):
             g, _ = optimize_g(g, source_code, source_img, lp, trunc,
                               opt_steps=200, lr=3e-3)
 
-    params_source, angles_source = calculate_shapemodel(deca, source_img)
+    from ..pipeline.reenactment import align_for
+    params_source, angles_source = calculate_shapemodel(
+        deca, source_img, align_fn=align_for(fan_deca))
     params_np = {k: np.asarray(v) for k, v in params_source.items()}
     angles_np = np.asarray(angles_source)
 

@@ -32,11 +32,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_grid", action="store_true")
     p.add_argument("--save_video", action="store_true", default=True)
     p.add_argument("--dataset_type", default="voxceleb")
-    p.add_argument("--image_resolution", type=int, default=256)
+    p.add_argument("--image_resolution", type=int, default=None,
+                   help="override the dataset's generator resolution "
+                        "(default: the checkpoint registry's, 256 voxceleb / "
+                        "1024 ffhq)")
     p.add_argument("--frame_batch", type=int, default=16,
                    help="target frames per device batch")
     p.add_argument("--video_stride", type=int, default=1)
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--deca_alignment", default="fan",
+                   choices=["fan", "resize"],
+                   help="DECA preprocessing: 'fan' = FAN-bbox similarity "
+                        "warp to 224 like the reference "
+                        "(decalib/datasets/datasets.py:57-86), 'resize' = "
+                        "plain bilinear (faster)")
     p.add_argument("--skip_preprocess", action="store_true",
                    help="inputs are already FFHQ-cropped 256 faces: bypass "
                         "detection/landmark cropping (also the smoke path "
@@ -80,24 +89,29 @@ def main(argv=None):
                                 load_face_models, load_generator, load_lpips)
 
     # --- models -----------------------------------------------------------
-    g = load_generator(args.dataset_type, random_init=args.random_init)
-    e4e = load_e4e(args.dataset_type, random_init=args.random_init)
+    g = load_generator(args.dataset_type, random_init=args.random_init,
+                       resolution=args.image_resolution)
+    e4e = load_e4e(args.dataset_type, random_init=args.random_init,
+                   resolution=args.image_resolution)
     a = load_direction_matrix(args.dataset_type, random_init=args.random_init)
     deca = load_deca(random_init=args.random_init)
+    need_fan = args.deca_alignment == "fan"
     sfd = fan = None
-    if not args.skip_preprocess:
+    if not args.skip_preprocess or need_fan:
         sfd, fan = load_face_models(random_init=args.random_init)
+    fan_deca = fan if need_fan else None
     spec = initialize_directions(args.dataset_type, 15, 6.0)
     trunc = compute_trunc(g)
+    size = g["meta"]["size"]
 
     def prep(frames):
         if args.skip_preprocess:
             from ..native.imgproc import resize_bilinear_u8
             batch = resize_bilinear_u8(np.stack(frames).astype(np.uint8),
-                                       (256, 256))
+                                       (size, size))
             return batch.astype(np.float32) / 127.5 - 1.0, \
                 np.ones(len(frames), bool)
-        return preprocess_images(sfd, fan, frames)
+        return preprocess_images(sfd, fan, frames, image_size=size)
 
     # --- source -----------------------------------------------------------
     ext = args.source_path.rsplit(".", 1)[-1].lower()
@@ -120,13 +134,14 @@ def main(argv=None):
     else:
         g_src = g
 
-    params_source, angles_source = source_shape(deca, source_img)
+    params_source, angles_source = source_shape(deca, source_img,
+                                                fan_params=fan_deca)
 
     # --- targets, batched -------------------------------------------------
     frames = _load_target_frames(args.target_path, args.video_stride)
     print(f"Run reenactment for {len(frames)} frames")
     reenact = make_reenact_fn(g_src, a, deca, spec, truncation=0.7,
-                              truncation_latent=trunc)
+                              truncation_latent=trunc, fan_params=fan_deca)
 
     grids = []
     bi = args.frame_batch

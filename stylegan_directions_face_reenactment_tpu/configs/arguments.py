@@ -37,6 +37,8 @@ class TrainingArguments:
     num_pairs_log: int = 4
     gif: bool = False
     evaluation: bool = True
+    log_images_wandb: bool = True   # eval grids/GIF frames → wandb
+                                    # (`utils_train.py:790-794,865-869`)
 
     # optimizer / schedule (`run_trainer.py:88-93`, `trainer.py:144`)
     lr: float = 1e-4
@@ -49,6 +51,11 @@ class TrainingArguments:
     training_method: str = "synthetic"   # synthetic | real | real_synthetic | paired
     dataset_type: str = "voxceleb"
     image_resolution: int = 256
+    # DECA preprocessing: 'fan' = FAN-bbox → similarity warp to 224 like the
+    # reference (`decalib/datasets/datasets.py:57-86`; needs FrozenModels.fan),
+    # 'resize' = plain bilinear (fast path / no FAN weights)
+    deca_alignment: str = "fan"
+    deca_image_size: int = 224          # resize-path target (tiny dry runs shrink it)
     channel_multiplier: int = 2
     truncation: float = 0.7
     dim_z: int = 512

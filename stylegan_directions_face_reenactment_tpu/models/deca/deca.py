@@ -190,7 +190,8 @@ def extract_deca_params(params: Params, images224: jnp.ndarray
 
 def calculate_shapemodel(params: Params, images: jnp.ndarray,
                          image_space: str = "gan",
-                         align_fn=None
+                         align_fn=None,
+                         image_size: int = IMAGE_SIZE
                          ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """GAN-range ([-1,1]) or [0,255] images → coefficient dict + angles
     (`libs/utilities/generic.py:22-34`). DECA consumes [0,1] at 224.
@@ -198,9 +199,10 @@ def calculate_shapemodel(params: Params, images: jnp.ndarray,
     ``align_fn`` maps [0,1] images to 224-aligned crops. The reference
     FAN-detects and similarity-warps each image
     (`decalib/datasets/datasets.py:57-86`); pass
-    `pipeline.alignment.fan_align` for that behavior. Default: bilinear
-    resize to 224 (fast path; faces from this pipeline's generators are
-    already FFHQ-cropped, so the similarity warp is close to a resize).
+    `pipeline.alignment.make_fan_align(fan)` for that behavior (the
+    default on the training/eval/inference paths when a FAN model is
+    loaded). Fallback: bilinear resize to ``image_size`` (the fast path;
+    also lets tiny-shape dry runs shrink the ResNet-50 graph).
     """
     if image_space == "gan":
         images = (jnp.clip(images, -1.0, 1.0) + 1.0) / 2.0
@@ -208,7 +210,7 @@ def calculate_shapemodel(params: Params, images: jnp.ndarray,
         images = images / 255.0
     if align_fn is not None:
         images = align_fn(images)
-    elif images.shape[1] != IMAGE_SIZE or images.shape[2] != IMAGE_SIZE:
-        images = resize_bilinear(images, (IMAGE_SIZE, IMAGE_SIZE))
+    elif images.shape[1] != image_size or images.shape[2] != image_size:
+        images = resize_bilinear(images, (image_size, image_size))
     p, shp, exp, angles, cam = extract_deca_params(params, images)
     return {"pose": p, "alpha_shp": shp, "alpha_exp": exp, "cam": cam}, angles

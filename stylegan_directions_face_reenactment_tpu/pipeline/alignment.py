@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..models.face.fan import fan_forward, heatmaps_to_landmarks, landmarks_to_image_coords
 from ..models.face.landmarks import box_to_center_scale, crop_faces
-from ..models.nn import affine_warp, resize_bilinear
+from ..models.nn import resize_bilinear, scale_translate_warp
 
 Params = Dict[str, Any]
 
@@ -44,19 +44,11 @@ def warp_to_224(images01: jnp.ndarray, center: jnp.ndarray,
                 old_size: jnp.ndarray) -> jnp.ndarray:
     """Similarity warp of the (center, 1.25·old_size) square to 224
     (`datasets.py:70-80`). images01: (B, H, W, 3) in [0, 1]."""
-    b = images01.shape[0]
     size = old_size * DECA_SCALE
     s = (DECA_CROP - 1.0) / size
-    zeros = jnp.zeros((b,), jnp.float32)
-    ones = jnp.ones((b,), jnp.float32)
     tx = -(center[:, 0] - size / 2.0) * s
     ty = -(center[:, 1] - size / 2.0) * s
-    theta = jnp.stack([
-        jnp.stack([s, zeros, tx], axis=-1),
-        jnp.stack([zeros, s, ty], axis=-1),
-        jnp.stack([zeros, zeros, ones], axis=-1),
-    ], axis=1)
-    return affine_warp(images01, theta, (DECA_CROP, DECA_CROP))
+    return scale_translate_warp(images01, s, tx, ty, (DECA_CROP, DECA_CROP))
 
 
 def make_fan_align(fan_params: Params):

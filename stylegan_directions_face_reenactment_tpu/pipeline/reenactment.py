@@ -23,9 +23,20 @@ from .synthesis import generate_image
 Params = Dict[str, Any]
 
 
-def source_shape(deca_params: Params, source_img: jnp.ndarray):
-    """DECA coefficients for the (1, 256, 256, 3) source image."""
-    return calculate_shapemodel(deca_params, source_img)
+def align_for(fan_params: Optional[Params]):
+    if fan_params is None:
+        return None
+    from .alignment import make_fan_align
+    return make_fan_align(fan_params)
+
+
+def source_shape(deca_params: Params, source_img: jnp.ndarray,
+                 fan_params: Optional[Params] = None):
+    """DECA coefficients for the (1, 256, 256, 3) source image. With
+    ``fan_params``, applies the reference's FAN-bbox → warp-224 DECA
+    alignment (`decalib/datasets/datasets.py:57-86`) before encoding."""
+    return calculate_shapemodel(deca_params, source_img,
+                                align_fn=align_for(fan_params))
 
 
 def reenact_batch(g_params: Params, a_params: Params, deca_params: Params,
@@ -37,7 +48,8 @@ def reenact_batch(g_params: Params, a_params: Params, deca_params: Params,
                   truncation: float = 0.7,
                   truncation_latent: Optional[jnp.ndarray] = None,
                   num_layers_shift: int = 8,
-                  compute_dtype=jnp.float32
+                  compute_dtype=jnp.float32,
+                  fan_params: Optional[Params] = None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reenact a batch of target frames onto one source identity.
 
@@ -50,7 +62,8 @@ def reenact_batch(g_params: Params, a_params: Params, deca_params: Params,
     (cf. reference per-frame loop `run_inference.py:170-195`).
     """
     t = target_imgs.shape[0]
-    params_target, angles_target = calculate_shapemodel(deca_params, target_imgs)
+    params_target, angles_target = calculate_shapemodel(
+        deca_params, target_imgs, align_fn=align_for(fan_params))
 
     ps = {k: jnp.broadcast_to(v, (t,) + v.shape[1:])
           for k, v in params_source.items()}
@@ -72,16 +85,32 @@ def reenact_batch(g_params: Params, a_params: Params, deca_params: Params,
 def make_reenact_fn(g_params: Params, a_params: Params, deca_params: Params,
                     spec: DirectionsSpec, *, truncation: float = 0.7,
                     truncation_latent: Optional[jnp.ndarray] = None,
-                    num_layers_shift: int = 8, compute_dtype=jnp.float32):
-    """Jitted closure over the frozen models: (source_code, params_source,
-    angles_source, target_imgs) → (reenacted, latents)."""
+                    num_layers_shift: int = 8, compute_dtype=jnp.float32,
+                    fan_params: Optional[Params] = None):
+    """Jitted reenactor: (source_code, params_source, angles_source,
+    target_imgs) → (reenacted, latents). ``fan_params`` enables the
+    reference's FAN-warp DECA alignment on the target frames.
+
+    The frozen weights ride through jit as ARGUMENTS, not closure
+    constants — hundreds of MB of baked-in constants overflow compile
+    pipelines (the tunneled remote-compile rejects them outright)."""
+    from ..train.steps import merge_statics, strip_statics
+
+    weights, statics = strip_statics((g_params, a_params, deca_params,
+                                      fan_params, truncation_latent))
 
     @jax.jit
-    def fn(source_code, params_source, angles_source, target_imgs):
+    def _fn(weights, source_code, params_source, angles_source, target_imgs):
+        g, a, deca, fan, trunc = merge_statics(weights, statics)
         return reenact_batch(
-            g_params, a_params, deca_params, spec, source_code,
+            g, a, deca, spec, source_code,
             params_source, angles_source, target_imgs,
-            truncation=truncation, truncation_latent=truncation_latent,
-            num_layers_shift=num_layers_shift, compute_dtype=compute_dtype)
+            truncation=truncation, truncation_latent=trunc,
+            num_layers_shift=num_layers_shift, compute_dtype=compute_dtype,
+            fan_params=fan)
+
+    def fn(source_code, params_source, angles_source, target_imgs):
+        return _fn(weights, source_code, params_source, angles_source,
+                   target_imgs)
 
     return fn
