@@ -76,7 +76,7 @@ def init_hourglass(key, depth: int = 4, features: int = 256) -> Params:
             entry["b2_plus"] = init_conv_block(keys[ki + 3], features, features)
         levels[str(level)] = entry
         ki += 4
-    return {"levels": levels, "depth": depth}
+    return {"levels": levels, "_meta": {"depth": depth}}
 
 
 def hourglass(p: Params, x: jnp.ndarray) -> jnp.ndarray:
@@ -91,7 +91,7 @@ def hourglass(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         low3 = conv_block(lv["b3"], low2)
         return up1 + upsample_nearest(low3, 2)
 
-    return recurse(p["depth"], x)
+    return recurse(p["_meta"]["depth"], x)
 
 
 def init_fan(key, num_modules: int = 4) -> Params:
@@ -108,6 +108,11 @@ def init_fan(key, num_modules: int = 4) -> Params:
         "meta": {"num_modules": num_modules},
     }
     for m in range(num_modules):
+        # every module carries bl/al (the reference's last module has none,
+        # `models.py:168-173`) so the 4 modules share one pytree structure
+        # and run as ONE lax.scan body — 4x less HLO to compile. The last
+        # module's bl/al output is discarded (the scan carry is unused), so
+        # zero weights there are exactly the reference semantics.
         mod = {
             "hg": init_hourglass(keys[next(ki)]),
             "top_m": init_conv_block(keys[next(ki)], 256, 256),
@@ -122,33 +127,52 @@ def init_fan(key, num_modules: int = 4) -> Params:
                          "bias": jnp.zeros((256,), jnp.float32)}
             mod["al"] = {"weight": _conv_init(keys[next(ki)], 1, 1, 68, 256),
                          "bias": jnp.zeros((256,), jnp.float32)}
+        else:
+            mod["bl"] = {"weight": jnp.zeros((1, 1, 256, 256), jnp.float32),
+                         "bias": jnp.zeros((256,), jnp.float32)}
+            mod["al"] = {"weight": jnp.zeros((1, 1, 68, 256), jnp.float32),
+                         "bias": jnp.zeros((256,), jnp.float32)}
         p["modules"].append(mod)
     return p
 
 
 def fan_forward(p: Params, x: jnp.ndarray) -> List[jnp.ndarray]:
     """x (B, 256, 256, 3) in [0,1] → list of (B, 64, 64, 68) heatmaps, one
-    per stacked module (`fan_model/models.py:174-202`); use the last."""
+    per stacked module (`fan_model/models.py:174-202`); use the last.
+
+    The 4 structurally-identical stacked modules run as one `lax.scan`
+    body (identical math to the reference's unrolled loop; the last
+    module's bl/al convs have zero weights and their result — the scan
+    carry — is discarded), which cuts XLA compile time ~4x."""
     x = relu(batch_norm(conv2d(x, p["conv1"]["weight"], p["conv1"]["bias"],
                                stride=2, padding=3), p["bn1"]))
     x = avg_pool2d(conv_block(p["conv2"], x), 2, stride=2)
     x = conv_block(p["conv3"], x)
     x = conv_block(p["conv4"], x)
 
-    previous = x
-    outputs = []
-    for i, mod in enumerate(p["modules"]):
-        hg = hourglass(mod["hg"], previous)
+    mods = p["modules"]
+    depth = mods[0]["hg"]["_meta"]["depth"]
+
+    def _arrays_only(m):
+        m = dict(m)
+        m["hg"] = {"levels": m["hg"]["levels"]}  # depth stays static
+        return m
+
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                     *[_arrays_only(m) for m in mods])
+
+    def body(previous, mod):
+        hg = hourglass({**mod["hg"], "_meta": {"depth": depth}}, previous)
         ll = conv_block(mod["top_m"], hg)
         ll = relu(batch_norm(conv2d(ll, mod["conv_last"]["weight"],
                                     mod["conv_last"]["bias"]), mod["bn_end"]))
         tmp_out = conv2d(ll, mod["l"]["weight"], mod["l"]["bias"])
-        outputs.append(tmp_out)
-        if i < p["meta"]["num_modules"] - 1:
-            ll2 = conv2d(ll, mod["bl"]["weight"], mod["bl"]["bias"])
-            tmp2 = conv2d(tmp_out, mod["al"]["weight"], mod["al"]["bias"])
-            previous = previous + ll2 + tmp2
-    return outputs
+        ll2 = conv2d(ll, mod["bl"]["weight"], mod["bl"]["bias"])
+        tmp2 = conv2d(tmp_out, mod["al"]["weight"], mod["al"]["bias"])
+        return previous + ll2 + tmp2, tmp_out
+
+    _, outs = jax.lax.scan(body, x, stacked)
+    return [outs[i] for i in range(p["meta"]["num_modules"])]
 
 
 # ---------------------------------------------------------------------------

@@ -23,7 +23,7 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..nn import affine_warp
+from ..nn import scale_translate_warp
 from .fan import fan_forward, heatmaps_to_landmarks, landmarks_to_image_coords
 from .s3fd import detect_faces
 
@@ -67,7 +67,10 @@ def crop_faces(images: jnp.ndarray, center: jnp.ndarray, scale: jnp.ndarray,
     """Batched 200·scale face crop via affine warp; images (B, H, W, C) in
     any range (values preserved)."""
     theta = crop_transform(center, scale, float(resolution))
-    return affine_warp(images, theta, (resolution, resolution))
+    # axis-aligned transform → MXU matmul warp (theta holds s on the
+    # diagonal and t in the last column; no rotation possible here)
+    return scale_translate_warp(images, theta[:, 0, 0], theta[:, 0, 2],
+                                theta[:, 1, 2], (resolution, resolution))
 
 
 def estimate_landmarks(s3fd_params: Params, fan_params: Params,

@@ -200,6 +200,45 @@ def _bilinear_gather_batch(x, grid_x, grid_y, pad_zero=True):
     return jax.vmap(lambda img: _bilinear_gather(img, grid_x, grid_y, pad_zero))(x)
 
 
+def _tent_matrix(coords: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Bilinear interpolation matrix: W[b, i, j] = max(0, 1 - |coords[b,i]
+    - j|). Row i resamples source position coords[b, i] with zero padding
+    (out-of-range positions produce all-zero rows) — exactly the
+    two-tap-bilinear-with-zero-pad semantics of `models/nn.py::
+    _bilinear_gather`, but as a DENSE matrix so the warp runs on the MXU."""
+    j = jnp.arange(size, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - j))
+
+
+def scale_translate_warp(images: jnp.ndarray, s: jnp.ndarray,
+                         tx: jnp.ndarray, ty: jnp.ndarray,
+                         out_hw) -> jnp.ndarray:
+    """Axis-aligned warp dst = s·src + t as two batched matmuls.
+
+    TPU-first replacement for the gather-based `affine_warp` in the
+    no-rotation case (the DECA crop square is axis-aligned, so the
+    reference's skimage 'similarity' fit degenerates to scale+translate):
+    per-pixel gathers neither tile nor vectorize on TPU (~43 ms + minutes
+    of compile for a (16, 224, 224, 3) warp), while the separable form
+    out = Wy @ img @ Wxᵀ is two MXU einsums.
+
+    images: (B, H, W, C); s/tx/ty: (B,) with dst = s·src + t per axis.
+    """
+    oh, ow = out_hw
+    h, w = images.shape[1], images.shape[2]
+    dst_y = jnp.arange(oh, dtype=jnp.float32)
+    dst_x = jnp.arange(ow, dtype=jnp.float32)
+    src_y = (dst_y[None, :] - ty[:, None]) / s[:, None]   # (B, oh)
+    src_x = (dst_x[None, :] - tx[:, None]) / s[:, None]   # (B, ow)
+    wy = _tent_matrix(src_y, h)                            # (B, oh, H)
+    wx = _tent_matrix(src_x, w)                            # (B, ow, W)
+    tmp = jnp.einsum("bih,bhwc->biwc", wy, images,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("bow,biwc->bioc", wx, tmp,
+                      preferred_element_type=jnp.float32)
+
+
+
 def affine_warp(x: jnp.ndarray, theta: jnp.ndarray,
                 out_hw: Tuple[int, int]) -> jnp.ndarray:
     """Warp NHWC batch with per-sample affine maps (src→dst), like

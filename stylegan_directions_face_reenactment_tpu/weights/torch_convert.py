@@ -359,7 +359,7 @@ def _fan_hourglass(sd, prefix, depth: int = 4) -> Params:
         if level == 1:
             entry["b2_plus"] = _fan_conv_block(sd, f"{prefix}.b2_plus_{level}")
         levels[str(level)] = entry
-    return {"levels": levels, "depth": depth}
+    return {"levels": levels, "_meta": {"depth": depth}}
 
 
 def convert_fan(sd: Mapping[str, Any], num_modules: int = 4) -> Params:
@@ -388,5 +388,13 @@ def convert_fan(sd: Mapping[str, Any], num_modules: int = 4) -> Params:
                          "bias": vec(sd[f"bl{m}.bias"])}
             mod["al"] = {"weight": conv_w(sd[f"al{m}.weight"]),
                          "bias": vec(sd[f"al{m}.bias"])}
+        else:
+            # the checkpoint's last module has no bl/al; zero-fill so all
+            # modules share one pytree structure for the scanned forward
+            # (`models/face/fan.py::fan_forward`; the result is discarded)
+            mod["bl"] = {"weight": jnp.zeros((1, 1, 256, 256), jnp.float32),
+                         "bias": jnp.zeros((256,), jnp.float32)}
+            mod["al"] = {"weight": jnp.zeros((1, 1, 68, 256), jnp.float32),
+                         "bias": jnp.zeros((256,), jnp.float32)}
         p["modules"].append(mod)
     return p

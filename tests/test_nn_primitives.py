@@ -166,3 +166,26 @@ def test_affine_warp_scale_matches_kornia_convention(rng):
     # dst pixel p samples src at 2p — nearest-grid case, exact gather
     np.testing.assert_allclose(got[0, :, :, 0], x[0, ::2, ::2, 0], rtol=1e-5,
                                atol=1e-5)
+
+
+def test_scale_translate_warp_matches_affine_warp(rng):
+    """The MXU matmul warp (tent-matrix form) must agree with the
+    gather-based affine_warp for axis-aligned transforms — the only kind
+    the DECA alignment and FAN crop produce."""
+    from stylegan_directions_face_reenactment_tpu.models.nn import (
+        scale_translate_warp)
+    x = rng.rand(3, 12, 12, 2).astype(np.float32)
+    s_ = np.asarray([0.7, 1.3, 2.1], np.float32)
+    tx = np.asarray([-2.0, 1.5, 0.3], np.float32)
+    ty = np.asarray([3.0, -1.2, 0.0], np.float32)
+    theta = np.zeros((3, 3, 3), np.float32)
+    theta[:, 0, 0] = s_
+    theta[:, 1, 1] = s_
+    theta[:, 0, 2] = tx
+    theta[:, 1, 2] = ty
+    theta[:, 2, 2] = 1.0
+    want = np.asarray(affine_warp(jnp.asarray(x), jnp.asarray(theta), (9, 9)))
+    got = np.asarray(scale_translate_warp(jnp.asarray(x), jnp.asarray(s_),
+                                          jnp.asarray(tx), jnp.asarray(ty),
+                                          (9, 9)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
