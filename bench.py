@@ -1,21 +1,38 @@
 """Benchmark: reenacted 256x256 frames/sec/chip on the flagship pipeline.
 
-Measures the full device-side reenactment path — DECA shape regression on
-the target frames, Δp construction, direction-matrix shift, and StyleGAN2
-synthesis — as one jitted program batched over frames (the reference runs
-this as a sequential per-frame Python loop, `run_inference.py:170-195`).
+Three numbers, one JSON line:
 
-Prints ONE JSON line:
-  {"metric": "reenact_fps_256", "value": N, "unit": "frames/s/chip",
-   "vs_baseline": N / 500}
-vs_baseline is relative to the 500 fps/chip north-star target
-(BASELINE.md; the reference publishes no numbers).
+  * value / "reenact_fps_256" — the device-side reenactment path exactly as
+    the reference computes it per frame: FAN-warp DECA alignment
+    (`decalib/datasets/datasets.py:57-86`) → DECA shape regression → Δp →
+    direction-matrix shift → StyleGAN2 synthesis, batched over frames as
+    ONE jitted program (the reference loops per frame,
+    `run_inference.py:170-195`).
+  * "full_path_fps" — apples-to-apples with the reference's whole loop:
+    adds SFD face detection + FAN landmarks + host-side FFHQ crop
+    (`utils_inference.py:61-82`) in front of the reenactment program.
+  * "resize_fps" — the fast path (bilinear resize instead of the FAN-warp
+    DECA alignment; `--deca_alignment resize`).
+
+vs_baseline is relative to the 500 fps/chip north-star target (BASELINE.md;
+the reference publishes no numbers).
 """
 
 import json
 import time
 
 import numpy as np
+
+
+def _time_loop(fn, iters=30):
+    out = fn()  # warm-up / compile
+    import jax
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -40,52 +57,114 @@ def main():
         init_generator, mean_latent, init_direction_matrix, n_latent_for)
     from stylegan_directions_face_reenactment_tpu.models.deca import (
         init_deca, synthetic_flame_params)
+    from stylegan_directions_face_reenactment_tpu.models.face import (
+        estimate_landmarks, crop_using_landmarks, init_fan, init_s3fd)
     from stylegan_directions_face_reenactment_tpu.pipeline.reenactment import (
         make_reenact_fn, source_shape)
 
+    from stylegan_directions_face_reenactment_tpu.utils.common import jit_build
+
     key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 8)
+    ks = jax.random.split(key, 10)
 
     size = 256
     batch = 16
     compute_dtype = jnp.bfloat16
 
-    g = init_generator(ks[0], size=size)
-    deca = init_deca(ks[1],
-                     synthetic_flame_params(ks[2], n_verts=5023, n_faces=9976),
-                     with_detail=False)
-    a = init_direction_matrix(ks[3], 512, 15, w_plus=True, num_layers=8)
+    # per-model jitted inits: eager init pays one dispatch+compile
+    # round-trip per leaf (~2 min total on the tunneled TPU)
+    g = jit_build(lambda k: init_generator(k, size=size), ks[0])
+    deca = jit_build(lambda k: init_deca(
+        k, synthetic_flame_params(jax.random.fold_in(k, 1), n_verts=5023,
+                                  n_faces=9976), with_detail=False), ks[1])
+    a = jit_build(lambda k: init_direction_matrix(k, 512, 15, w_plus=True,
+                                                  num_layers=8), ks[3])
+    trunc = jax.jit(lambda k: mean_latent(g, k, 4096))(ks[4])
+    fan = jit_build(init_fan, ks[8])
+    sfd = jit_build(init_s3fd, ks[9])
     spec = initialize_directions("voxceleb", 15, 6.0)
-    trunc = mean_latent(g, ks[4], 4096)
 
     source_img = jax.random.uniform(ks[5], (1, 256, 256, 3),
                                     minval=-1.0, maxval=1.0)
-    params_source, angles_source = source_shape(deca, source_img)
+
+    from stylegan_directions_face_reenactment_tpu.train.steps import (
+        merge_statics as _merge, strip_statics as _strip)
+    src_w, src_statics = _strip((deca, fan))
+
+    @jax.jit
+    def _src_shape(w, img):
+        deca_p, fan_p = _merge(w, src_statics)
+        return source_shape(deca_p, img, fan_params=fan_p)
+
+    params_source, angles_source = _src_shape(src_w, source_img)
     source_code = jax.random.normal(ks[6], (1, n_latent_for(size), 512))
     targets = jax.random.uniform(ks[7], (batch, 256, 256, 3),
                                  minval=-1.0, maxval=1.0)
 
-    fn = make_reenact_fn(g, a, deca, spec, truncation=0.7,
-                         truncation_latent=trunc,
-                         compute_dtype=compute_dtype)
+    fn_fan = make_reenact_fn(g, a, deca, spec, truncation=0.7,
+                             truncation_latent=trunc,
+                             compute_dtype=compute_dtype, fan_params=fan)
+    fn_resize = make_reenact_fn(g, a, deca, spec, truncation=0.7,
+                                truncation_latent=trunc,
+                                compute_dtype=compute_dtype)
 
-    # warm up (compile)
-    out, _ = fn(source_code, params_source, angles_source, targets)
-    out.block_until_ready()
+    dt_fan = _time_loop(lambda: fn_fan(source_code, params_source,
+                                       angles_source, targets)[0])
+    dt_resize = _time_loop(lambda: fn_resize(source_code, params_source,
+                                             angles_source, targets)[0])
 
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, _ = fn(source_code, params_source, angles_source, targets)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    fps = batch / dt
+    # ---- full per-frame path: SFD detect + FAN landmarks + FFHQ crop +
+    # FAN-aligned DECA + Δp + A + synthesis (reference loop
+    # `run_inference.py:170-195`) -----------------------------------------
+    frames_u8 = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(3), (batch, 480, 480, 3),
+                           0, 256, jnp.int32), dtype=np.uint8)
+    frames_dev = jnp.asarray(frames_u8)  # upload u8; convert on device
+    # synthetic landmarks for a typical fully-in-frame face so the host
+    # crop always runs its common path (random-weight detectors rarely
+    # clear the 0.99 confidence gate; real faces are mostly in-frame —
+    # out-of-frame crops take the reference's pad+blur+fade slow path)
+    lm_rng = np.random.RandomState(0)
+    fake_lms = (lm_rng.rand(batch, 68, 2) * 100 + 190).astype(np.float32)
 
+    # detector weights as jit arguments (remote-compile payload limit)
+    from stylegan_directions_face_reenactment_tpu.train.steps import (
+        merge_statics, strip_statics)
+    det_w, det_statics = strip_statics((sfd, fan))
+
+    @jax.jit
+    def _el(det_w, imgs_u8):
+        sfd_p, fan_p = merge_statics(det_w, det_statics)
+        return estimate_landmarks(sfd_p, fan_p, imgs_u8.astype(jnp.float32))
+
+    @jax.jit
+    def _to_gan(u8):
+        # uint8 crops upload 4x fewer bytes over the (tunneled) host link;
+        # the [-1,1] conversion runs on device
+        return u8.astype(jnp.float32) / 127.5 - 1.0
+
+    def full_path():
+        pts, valid, _ = _el(det_w, frames_dev)
+        jax.block_until_ready(pts)
+        crops = np.zeros((batch, 256, 256, 3), np.uint8)
+        for i in range(batch):
+            crop = crop_using_landmarks(frames_u8[i], fake_lms[i],
+                                        image_size=256)
+            if crop is not None:
+                crops[i] = crop
+        return fn_fan(source_code, params_source, angles_source,
+                      _to_gan(jnp.asarray(crops)))[0]
+
+    dt_full = _time_loop(full_path, iters=10)
+
+    fps = batch / dt_fan
     print(json.dumps({
         "metric": "reenact_fps_256",
         "value": round(float(fps), 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(float(fps) / 500.0, 3),
+        "resize_fps": round(batch / dt_resize, 1),
+        "full_path_fps": round(batch / dt_full, 1),
     }))
 
 

@@ -21,6 +21,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--save_images", action="store_true", default=True)
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--image_resolution", type=int, default=None,
+                   help="override the dataset's generator resolution "
+                        "(random_init smoke runs)")
     return p
 
 
@@ -32,18 +35,20 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from ..data.datasets import DatasetInversion, Loader
-    from ..pipeline.inversion import invert_image
+    from ..pipeline.inversion import make_invert_fn
     from ..utils.image_utils import save_image
     from .model_loading import compute_trunc, load_e4e, load_generator
 
-    g = load_generator(args.dataset_type, random_init=args.random_init)
-    e4e = load_e4e(args.dataset_type, random_init=args.random_init)
+    g = load_generator(args.dataset_type, random_init=args.random_init,
+                       resolution=args.image_resolution)
+    e4e = load_e4e(args.dataset_type, random_init=args.random_init,
+                   resolution=args.image_resolution)
     trunc = compute_trunc(g)
 
-    invert = jax.jit(lambda im: invert_image(im, e4e, g, truncation=0.7,
-                                             truncation_latent=trunc))
+    invert = make_invert_fn(e4e, g, truncation=0.7, truncation_latent=trunc)
 
-    dataset = DatasetInversion(args.dataset_path)
+    dataset = DatasetInversion(args.dataset_path,
+                               image_size=g["meta"]["size"])
     loader = Loader(dataset, args.batch_size, shuffle=False, drop_last=False)
     print(f"Inverting {len(dataset)} frames from {args.dataset_path}")
 

@@ -16,6 +16,7 @@ import numpy as np
 import jax
 
 from ..configs.models_config import AUX_MODELS, MODELS
+from ..utils.common import jit_build
 from ..models import (init_generator, init_direction_matrix, init_e4e_encoder,
                       init_backbone, mean_latent)
 from ..models.deca import init_deca, synthetic_flame_params
@@ -33,32 +34,36 @@ def _torch_load(path: str):
 def load_generator(dataset_type: str = "voxceleb",
                    path: Optional[str] = None,
                    random_init: bool = False,
-                   rng: Optional[jax.Array] = None) -> Params:
+                   rng: Optional[jax.Array] = None,
+                   resolution: Optional[int] = None) -> Params:
     cfg = MODELS[dataset_type]
+    res = resolution or cfg["resolution"]
     if random_init:
-        return init_generator(rng or jax.random.PRNGKey(0),
-                              size=cfg["resolution"],
-                              channel_multiplier=cfg["channel_multiplier"])
+        return jit_build(lambda k: init_generator(
+            k, size=res, channel_multiplier=cfg["channel_multiplier"]),
+            rng or jax.random.PRNGKey(0))
     from ..weights.torch_convert import convert_stylegan2_generator
     path = path or cfg["generator_path"]
     ckpt = _torch_load(path)
     sd = ckpt.get("g_ema", ckpt)
-    return convert_stylegan2_generator(sd, size=cfg["resolution"],
+    return convert_stylegan2_generator(sd, size=res,
                                        channel_multiplier=cfg["channel_multiplier"])
 
 
 def load_e4e(dataset_type: str = "voxceleb", path: Optional[str] = None,
              random_init: bool = False,
-             rng: Optional[jax.Array] = None) -> Params:
+             rng: Optional[jax.Array] = None,
+             resolution: Optional[int] = None) -> Params:
     cfg = MODELS[dataset_type]
+    res = resolution or cfg["resolution"]
     if random_init:
-        return init_e4e_encoder(rng or jax.random.PRNGKey(1),
-                                image_resolution=cfg["resolution"])
+        return jit_build(lambda k: init_e4e_encoder(k, image_resolution=res),
+                         rng or jax.random.PRNGKey(1))
     from ..weights.torch_convert import convert_e4e_encoder
     path = path or cfg["e4e_path"]
     ckpt = _torch_load(path)
     sd = ckpt.get("e", ckpt)
-    return convert_e4e_encoder(sd, image_resolution=cfg["resolution"])
+    return convert_e4e_encoder(sd, image_resolution=res)
 
 
 def load_direction_matrix(dataset_type: str = "voxceleb",
@@ -78,10 +83,9 @@ def load_deca(path: Optional[str] = None, flame_path: Optional[str] = None,
               random_init: bool = False,
               rng: Optional[jax.Array] = None) -> Params:
     if random_init:
-        key = rng or jax.random.PRNGKey(3)
-        return init_deca(key, synthetic_flame_params(
-            jax.random.fold_in(key, 1), n_verts=5023, n_faces=9976),
-            with_detail=False)
+        return jit_build(lambda k: init_deca(k, synthetic_flame_params(
+            jax.random.fold_in(k, 1), n_verts=5023, n_faces=9976),
+            with_detail=False), rng or jax.random.PRNGKey(3))
     from ..weights.torch_convert import convert_deca
     from ..weights.flame_loader import load_flame_params
     flame = load_flame_params(flame_path or AUX_MODELS["flame"],
@@ -95,8 +99,9 @@ def load_face_models(sfd_path: Optional[str] = None,
                      random_init: bool = False,
                      rng: Optional[jax.Array] = None) -> Tuple[Params, Params]:
     if random_init:
-        key = rng or jax.random.PRNGKey(4)
-        return (init_s3fd(key), init_fan(jax.random.fold_in(key, 1)))
+        return jit_build(lambda k: (init_s3fd(k),
+                                    init_fan(jax.random.fold_in(k, 1))),
+                         rng or jax.random.PRNGKey(4))
     from ..weights.torch_convert import convert_s3fd, convert_fan
     sfd_sd = _torch_load(sfd_path or AUX_MODELS["sfd"])
     fan_ckpt = _torch_load(fan_path or AUX_MODELS["fan_2d"])
@@ -107,7 +112,7 @@ def load_face_models(sfd_path: Optional[str] = None,
 def load_id_backbone(path: Optional[str] = None, random_init: bool = False,
                      rng: Optional[jax.Array] = None) -> Params:
     if random_init:
-        return init_backbone(rng or jax.random.PRNGKey(5))
+        return jit_build(init_backbone, rng or jax.random.PRNGKey(5))
     from ..weights.torch_convert import convert_irse_backbone
     return convert_irse_backbone(_torch_load(path or AUX_MODELS["ir_se50"]))
 
@@ -115,7 +120,7 @@ def load_id_backbone(path: Optional[str] = None, random_init: bool = False,
 def load_lpips(path: Optional[str] = None, random_init: bool = False,
                rng: Optional[jax.Array] = None) -> Params:
     if random_init:
-        return init_lpips_alex(rng or jax.random.PRNGKey(6))
+        return jit_build(init_lpips_alex, rng or jax.random.PRNGKey(6))
     from ..losses.lpips import convert_lpips_alex
     bundle = _torch_load(path or AUX_MODELS["lpips_alex"])
     return convert_lpips_alex(bundle["alex_features"], bundle["lin"])

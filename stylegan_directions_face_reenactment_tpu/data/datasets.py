@@ -265,7 +265,8 @@ class DatasetInversion:
     """Frames + routing info for batch e4e inversion
     (`dataloader_inversion.py:10-123`)."""
 
-    def __init__(self, dataset_path: str):
+    def __init__(self, dataset_path: str, image_size: int = 256):
+        self.image_size = image_size
         self.entries: List[Dict[str, str]] = []
         for id_path in _list_ids(dataset_path):
             id_index = id_path.rstrip("/").split("/")[-1]
@@ -285,7 +286,7 @@ class DatasetInversion:
 
     def __getitem__(self, index: int):
         e = self.entries[index]
-        return {"image": load_image_gan_range(e["path"]), **e}
+        return {"image": load_image_gan_range(e["path"], self.image_size), **e}
 
 
 class Loader:

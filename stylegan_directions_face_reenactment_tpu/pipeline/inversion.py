@@ -4,12 +4,35 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..models.e4e import e4e_forward
 from .synthesis import generate_image
 
 Params = Dict[str, Any]
+
+
+def make_invert_fn(e4e_params: Params, g_params: Params,
+                   truncation: float = 0.7,
+                   truncation_latent: Optional[jnp.ndarray] = None,
+                   resynthesize: bool = True):
+    """Jitted batch inverter: images → (reconstruction, W+ codes). Weights
+    ride as jit arguments (closure constants of this size overflow the
+    tunneled remote-compile; see make_reenact_fn)."""
+    from ..train.steps import merge_statics, strip_statics
+
+    weights, statics = strip_statics((e4e_params, g_params,
+                                      truncation_latent))
+
+    @jax.jit
+    def _fn(weights, images):
+        e4e, g, trunc = merge_statics(weights, statics)
+        return invert_image(images, e4e, g, truncation=truncation,
+                            truncation_latent=trunc,
+                            resynthesize=resynthesize)
+
+    return lambda images: _fn(weights, images)
 
 
 def invert_image(images: jnp.ndarray, e4e_params: Params, g_params: Params,

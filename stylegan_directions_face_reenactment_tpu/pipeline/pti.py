@@ -55,22 +55,31 @@ def optimize_g(g_params: Params, latent: jnp.ndarray, real_imgs: jnp.ndarray,
     final loss dict). latent: (B, n_latent, 512) W+; real_imgs (B, 256, 256, 3)
     in [-1, 1]."""
     pt_l2_lambda = 1.0 if optimize_all else 100.0  # `optimization.py:36-40`
-    tunable, rebuild = split_tunable(g_params, optimize_all)
+    tunable, rebuild_host = split_tunable(g_params, optimize_all)
 
     tx = optax.adam(lr)
 
-    def loss_fn(t):
-        g = rebuild(t)
-        imgs = generate_image(g, latent, truncation=truncation,
-                              truncation_latent=truncation_latent,
-                              input_is_latent=True,
-                              compute_dtype=compute_dtype)
-        total, l2v, lp = pti_loss(lpips_params, imgs, real_imgs,
-                                  pt_l2_lambda=pt_l2_lambda)
-        return total, (l2v, lp)
+    # frozen weights ride as jit ARGUMENTS (baked-in constants of this size
+    # overflow the tunneled remote-compile; see make_reenact_fn)
+    from ..train.steps import merge_statics, strip_statics
+    frozen, statics = strip_statics((g_params, lpips_params))
 
     @jax.jit
-    def run(t0):
+    def run(t0, frozen, latent, real_imgs, truncation_latent):
+        g_full, lpips_p = merge_statics(frozen, statics)
+        tun0, rebuild = split_tunable(g_full, optimize_all)
+        del tun0  # t0 (the jit argument) is the traced tunable subtree
+
+        def loss_fn(t):
+            g = rebuild(t)
+            imgs = generate_image(g, latent, truncation=truncation,
+                                  truncation_latent=truncation_latent,
+                                  input_is_latent=True,
+                                  compute_dtype=compute_dtype)
+            total, l2v, lp = pti_loss(lpips_p, imgs, real_imgs,
+                                      pt_l2_lambda=pt_l2_lambda)
+            return total, (l2v, lp)
+
         opt_state = tx.init(t0)
 
         def step(carry, _):
@@ -85,7 +94,8 @@ def optimize_g(g_params: Params, latent: jnp.ndarray, real_imgs: jnp.ndarray,
                                              None, length=opt_steps)
         return t_final, history
 
-    t_final, (totals, l2s, lps) = run(tunable)
-    tuned = rebuild(t_final)
+    t_final, (totals, l2s, lps) = run(tunable, frozen, latent, real_imgs,
+                                      truncation_latent)
+    tuned = rebuild_host(t_final)
     return tuned, {"loss": totals[-1], "l2_loss": l2s[-1],
                    "lpips_loss": lps[-1], "loss_history": totals}
