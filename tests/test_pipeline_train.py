@@ -124,6 +124,7 @@ def test_one_hot_shift():
     assert np.abs(oh).sum() == 3.5
 
 
+@pytest.mark.slow
 def test_optimize_g_improves_l2(world):
     code = jax.random.normal(jax.random.PRNGKey(9),
                              (1, n_latent_for(SIZE), 512))
@@ -147,6 +148,7 @@ def test_optimize_g_improves_l2(world):
     assert info["loss_history"].shape == (10,)
 
 
+@pytest.mark.slow
 def test_synthetic_train_step_updates_a(world):
     args = TrainingArguments(batch_size=2, image_resolution=SIZE,
                              validation_samples=4)
@@ -166,6 +168,7 @@ def test_synthetic_train_step_updates_a(world):
     assert np.isfinite(float(ld2["loss"]))
 
 
+@pytest.mark.slow
 def test_paired_train_step(world):
     args = TrainingArguments(batch_size=2, image_resolution=SIZE,
                              training_method="paired")

@@ -10,6 +10,9 @@ import jax.numpy as jnp
 import pytest
 from PIL import Image
 
+# whole-module: train-step/eval-program compiles take minutes cold on CPU
+pytestmark = pytest.mark.slow
+
 from stylegan_directions_face_reenactment_tpu.configs.arguments import TrainingArguments
 from stylegan_directions_face_reenactment_tpu.losses import init_lpips_alex
 from stylegan_directions_face_reenactment_tpu.models import (
