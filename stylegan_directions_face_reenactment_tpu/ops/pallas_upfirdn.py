@@ -87,7 +87,13 @@ def _separable_factors(kflip: np.ndarray):
 
 def _make_kernel_fn(taps_y, taps_x, kflip: np.ndarray, up: int,
                     th_out: int, ow: int, rows_in: int):
-    """Build the pallas kernel body (everything static)."""
+    """Build the pallas kernel body (everything static).
+
+    The halo'd input row band is DOUBLE-BUFFERED across grid steps: the
+    TPU grid runs sequentially and scratch persists, so each step starts
+    the next step's HBM→VMEM copy before computing its own — the DMA for
+    band t+1 overlaps the VPU work on band t (the output block write is
+    pipelined by pallas itself via the BlockSpec)."""
     oh_half = th_out // up
     ow_half = ow // up
     sep = _separable_factors(kflip)
@@ -95,12 +101,28 @@ def _make_kernel_fn(taps_y, taps_x, kflip: np.ndarray, up: int,
     def body(x_hbm, o_ref, scratch, sem):
         b = pl.program_id(0)
         ht = pl.program_id(1)
-        row0 = ht * oh_half
+        nt = pl.num_programs(1)
+        nb = pl.num_programs(0)
+        step = b * nt + ht
+        total = nb * nt
 
-        cp = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(row0, rows_in)], scratch, sem)
-        cp.start()
-        cp.wait()
+        def dma(slot, s):
+            bb = s // nt
+            hh = s - bb * nt
+            return pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(hh * oh_half, rows_in)],
+                scratch.at[slot], sem.at[slot])
+
+        @pl.when(step == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(step + 1 < total)
+        def _():
+            dma((step + 1) % 2, step + 1).start()
+
+        slot = step % 2
+        dma(slot, step).wait()
 
         row_filtered = {}  # per-phy row-filtered intermediate (separable path)
 
@@ -112,7 +134,8 @@ def _make_kernel_fn(taps_y, taps_x, kflip: np.ndarray, up: int,
                 for jy, sy in taps_y[phy]:
                     for jx, sx in taps_x[phx]:
                         tap = float(kflip[jy, jx])
-                        sl = scratch[sy:sy + oh_half, sx:sx + ow_half, :]
+                        sl = scratch[slot, sy:sy + oh_half,
+                                     sx:sx + ow_half, :]
                         term = sl * tap
                         acc = term if acc is None else acc + term
             else:
@@ -120,7 +143,7 @@ def _make_kernel_fn(taps_y, taps_x, kflip: np.ndarray, up: int,
                 if phy not in row_filtered:
                     row_acc = None
                     for jy, sy in taps_y[phy]:
-                        t = scratch[sy:sy + oh_half, :, :] * float(ky[jy])
+                        t = scratch[slot, sy:sy + oh_half, :, :] * float(ky[jy])
                         row_acc = t if row_acc is None else row_acc + t
                     row_filtered[phy] = row_acc
                 row_acc = row_filtered[phy]
@@ -130,7 +153,7 @@ def _make_kernel_fn(taps_y, taps_x, kflip: np.ndarray, up: int,
                         t = row_acc[:, sx:sx + ow_half, :] * float(kx[jx])
                         acc = t if acc is None else acc + t
             if acc is None:
-                acc = jnp.zeros((oh_half, ow_half) + scratch.shape[2:],
+                acc = jnp.zeros((oh_half, ow_half) + scratch.shape[3:],
                                 scratch.dtype)
             return acc
 
@@ -210,7 +233,10 @@ def _forward(x, kernel, up, pad):
     th_out = oh if oh <= 64 else 64
     while oh % th_out:
         th_out //= 2
-    while th_out > up and th_out * bytes_per_row > 2 * 1024 * 1024:
+    # out block + its pipeline double-buffer + 2-slot input scratch must fit
+    # VMEM; 4MB out blocks keep the grid coarse enough that per-step
+    # overhead does not dominate at 256² shapes
+    while th_out > up and th_out * bytes_per_row > 4 * 1024 * 1024:
         th_out //= 2
     oh_half = th_out // up
     rows_in = oh_half + max_sy
@@ -237,8 +263,8 @@ def _forward(x, kernel, up, pad):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, oh, ow, c), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows_in, xp.shape[2], c), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, rows_in, xp.shape[2], c), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
     )(xp)

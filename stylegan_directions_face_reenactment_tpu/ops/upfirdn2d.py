@@ -129,21 +129,37 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up=1, down=1,
 
 # Backend for the up/blur resampling ops:
 #   "xla"    — the dilated-conv formulation above (TPU f32 convs use bf16
-#              multiply passes ⇒ ~1e-2 abs error); fastest for plain blur.
-#   "pallas" — the polyphase Pallas kernel (`ops/pallas_upfirdn.py`)
-#              everywhere: exact f32 like the reference CUDA kernel.
-#   "mixed"  — Pallas for 2x upsampling (faster AND exact), XLA for blur.
-_RESAMPLE_BACKEND = "xla"
+#              multiply passes ⇒ ~1e-2 abs error); fuses with neighbors.
+#   "pallas" — the double-buffered polyphase Pallas kernel
+#              (`ops/pallas_upfirdn.py`) everywhere: exact f32 like the
+#              reference CUDA kernel.
+#   "mixed"  — Pallas for 2x upsampling (exact f32, at per-op parity with
+#              XLA on v5e after double-buffering the row-band DMA: up64
+#              0.98x / up128 ~1.0x, e2e reenact 566.2 vs 566.5 fps), XLA
+#              for the small in-graph blurs where conv fusion still wins.
+#   "auto"   — DEFAULT: "mixed" on TPU; "xla" elsewhere (off-TPU the
+#              Pallas kernel runs interpreted — correct but slow).
+_RESAMPLE_BACKEND = "auto"
 
 
 def set_resample_backend(name: str) -> None:
     global _RESAMPLE_BACKEND
-    if name not in ("xla", "pallas", "mixed"):
-        raise ValueError("backend must be 'xla', 'pallas' or 'mixed'")
+    if name not in ("xla", "pallas", "mixed", "auto"):
+        raise ValueError("backend must be 'xla', 'pallas', 'mixed' or 'auto'")
     _RESAMPLE_BACKEND = name
 
 
+def _on_tpu() -> bool:
+    import jax as _jax
+    dev = _jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform == "tpu"
+    return _jax.default_backend() in ("tpu", "axon")
+
+
 def get_resample_backend() -> str:
+    if _RESAMPLE_BACKEND == "auto":
+        return "mixed" if _on_tpu() else "xla"
     return _RESAMPLE_BACKEND
 
 
@@ -151,9 +167,10 @@ def _pallas_ok(kernel, for_upsample: bool = False) -> bool:
     import jax as _jax
     if isinstance(kernel, _jax.core.Tracer):
         return False
-    if _RESAMPLE_BACKEND == "pallas":
+    backend = get_resample_backend()
+    if backend == "pallas":
         return True
-    return _RESAMPLE_BACKEND == "mixed" and for_upsample
+    return backend == "mixed" and for_upsample
 
 
 def upsample2d(x: jnp.ndarray, kernel: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
