@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference FAN-warp (datasets.py:57-86), 'resize' = "
                         "plain bilinear (faster)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--train_compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="synthesis compute dtype inside the train step")
     p.add_argument("--no_evaluation", action="store_true",
                    help="disable the eval cadence (smoke runs without a "
                         "validation set)")
@@ -83,6 +86,7 @@ def main(argv=None):
         use_wandb=args_ns.use_wandb, workers=args_ns.workers,
         log_images_wandb=args_ns.log_images_wandb,
         deca_alignment=args_ns.deca_alignment,
+        train_compute_dtype=args_ns.train_compute_dtype,
         evaluation=not args_ns.no_evaluation,
     )
 

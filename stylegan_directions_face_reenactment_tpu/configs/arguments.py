@@ -56,6 +56,9 @@ class TrainingArguments:
     # 'resize' = plain bilinear (fast path / no FAN weights)
     deca_alignment: str = "fan"
     deca_image_size: int = 224          # resize-path target (tiny dry runs shrink it)
+    # synthesis compute dtype inside the train step: 'bfloat16' roughly
+    # halves the StyleGAN2 forward/backward HBM traffic (A stays f32)
+    train_compute_dtype: str = "float32"   # float32 | bfloat16
     channel_multiplier: int = 2
     truncation: float = 0.7
     dim_z: int = 512

@@ -160,6 +160,11 @@ def _a_apply(a_train: Params, delta_p: jnp.ndarray,
     return out
 
 
+def _compute_dtype(args: TrainingArguments):
+    return (jnp.bfloat16 if getattr(args, "train_compute_dtype", "float32")
+            == "bfloat16" else jnp.float32)
+
+
 def _shift_and_indices(spec, args, params_source, params_target,
                        angles_source, angles_target, rng):
     if args.disentanglement_50:
@@ -210,13 +215,15 @@ def make_synthetic_step(models: FrozenModels, spec: DirectionsSpec,
 
         imgs_source, _ = generate_image(
             models.generator, z_src, truncation=args.truncation,
-            truncation_latent=models.truncation_latent, return_latents=True)
+            truncation_latent=models.truncation_latent, return_latents=True,
+            compute_dtype=_compute_dtype(args))
         imgs_source = jax.lax.stop_gradient(imgs_source)
         params_source, angles_source = shapemodel(imgs_source)
 
         imgs_target = jax.lax.stop_gradient(generate_image(
             models.generator, z_tgt, truncation=args.truncation,
-            truncation_latent=models.truncation_latent))
+            truncation_latent=models.truncation_latent,
+            compute_dtype=_compute_dtype(args)))
         params_target, angles_target = shapemodel(imgs_target)
 
         params_source = jax.lax.stop_gradient(params_source)
@@ -234,7 +241,8 @@ def make_synthetic_step(models: FrozenModels, spec: DirectionsSpec,
                 models.generator, z_src, truncation=args.truncation,
                 truncation_latent=models.truncation_latent, shift_code=shift,
                 input_is_latent=False, return_latents=True,
-                num_layers_shift=args.num_layers_shift, w_plus=args.w_plus)
+                num_layers_shift=args.num_layers_shift, w_plus=args.w_plus,
+                compute_dtype=_compute_dtype(args))
             params_shifted, _ = shapemodel(imgs_shifted)
             return calculate_losses(
                 models.deca, models.id_backbone, models.lpips, spec, lambdas,
@@ -290,7 +298,7 @@ def make_real_step(models: FrozenModels, spec: DirectionsSpec,
             imgs_syn = jax.lax.stop_gradient(generate_image(
                 models.generator, w_syn, truncation=args.truncation,
                 truncation_latent=models.truncation_latent,
-                input_is_latent=True))
+                input_is_latent=True, compute_dtype=_compute_dtype(args)))
             source_w = jnp.concatenate([source_w, w_syn], axis=0)
             source_real_img = jnp.concatenate([source_real_img, imgs_syn],
                                               axis=0)
@@ -302,7 +310,8 @@ def make_real_step(models: FrozenModels, spec: DirectionsSpec,
                                             (args.batch_size, args.dim_z)))
         imgs_target = jax.lax.stop_gradient(generate_image(
             models.generator, z_tgt, truncation=args.truncation,
-            truncation_latent=models.truncation_latent))
+            truncation_latent=models.truncation_latent,
+            compute_dtype=_compute_dtype(args)))
         params_target, angles_target = jax.lax.stop_gradient(
             shapemodel(imgs_target))
 
@@ -316,7 +325,8 @@ def make_real_step(models: FrozenModels, spec: DirectionsSpec,
                 models.generator, source_w, truncation=args.truncation,
                 truncation_latent=models.truncation_latent, shift_code=shift,
                 input_is_latent=True, return_latents=True,
-                num_layers_shift=args.num_layers_shift, w_plus=args.w_plus)
+                num_layers_shift=args.num_layers_shift, w_plus=args.w_plus,
+                compute_dtype=_compute_dtype(args))
             params_shifted, _ = shapemodel(imgs_shifted)
             return calculate_losses(
                 models.deca, models.id_backbone, models.lpips, spec, lambdas,
@@ -373,7 +383,8 @@ def make_paired_step(models: FrozenModels, spec: DirectionsSpec,
                 models.generator, source_w, truncation=args.truncation,
                 truncation_latent=models.truncation_latent, shift_code=shift,
                 input_is_latent=True, return_latents=True,
-                num_layers_shift=args.num_layers_shift, w_plus=args.w_plus)
+                num_layers_shift=args.num_layers_shift, w_plus=args.w_plus,
+                compute_dtype=_compute_dtype(args))
             params_shifted, _ = shapemodel(imgs_shifted)
             return calculate_losses_paired(
                 models.deca, models.id_backbone, models.lpips, lambdas,
