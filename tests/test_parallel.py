@@ -124,8 +124,15 @@ def paired_inputs():
 
 
 @pytest.mark.slow
-def test_paired_step_sharded_matches_single_device(mesh, tiny_models,
+def test_paired_step_sharded_matches_single_device(tiny_models,
                                                    paired_inputs):
+    # 2-device mesh: XLA:CPU aborts a collective whose participants
+    # straggle >40s apart (rendezvous.cc), and 8 virtual devices executing
+    # a real train step on shared host cores can exceed that; two
+    # participants keep the straggle window tiny while still exercising
+    # the sharded program + psum. 8-way execution is covered by
+    # test_trainer_paired_on_mesh and __graft_entry__.dryrun_multichip.
+    mesh = make_mesh(2, devices=jax.devices("cpu"))
     from stylegan_directions_face_reenactment_tpu.configs.arguments import (
         TrainingArguments)
     from stylegan_directions_face_reenactment_tpu.models import (
@@ -135,7 +142,11 @@ def test_paired_step_sharded_matches_single_device(mesh, tiny_models,
     from stylegan_directions_face_reenactment_tpu.train.steps import split_a
 
     args = TrainingArguments(batch_size=BATCH, image_resolution=SIZE,
-                             training_method="paired")
+                             training_method="paired",
+                             # tiny DECA resolution (like the dry run): the
+                             # full 224 ResNet-50 x3 per step starves the
+                             # 8-virtual-device CPU collective rendezvous
+                             deca_image_size=SIZE)
     tx = make_optimizer(args)
     a0 = init_direction_matrix(jax.random.PRNGKey(3), 512, 15, w_plus=True,
                                num_layers=8)
@@ -162,8 +173,11 @@ def test_paired_step_sharded_matches_single_device(mesh, tiny_models,
 
     np.testing.assert_allclose(float(ld8["loss"]), float(ld1["loss"]),
                                rtol=2e-4)
+    # Adam's first update is ±lr·grad/(√v̂+ε) ≈ ±lr per element; psum
+    # reduction-order noise can flip near-zero grads, so per-element
+    # deltas are bounded by ~2·lr (1e-4), not by float precision
     np.testing.assert_allclose(np.asarray(a8["weight"]),
-                               np.asarray(a1["weight"]), atol=1e-5)
+                               np.asarray(a1["weight"]), atol=3e-4)
 
 
 @pytest.mark.slow
@@ -192,7 +206,7 @@ def test_trainer_paired_on_mesh(tmp_path, mesh, tiny_models):
         np.save(cdir / f"{f:06d}.npy", rng.randn(n_lat, 512).astype(np.float32))
 
     args = TrainingArguments(batch_size=BATCH, image_resolution=SIZE,
-                             training_method="paired",
+                             training_method="paired", deca_image_size=SIZE,
                              experiment_path=str(tmp_path / "exp"),
                              train_dataset_path=str(data),
                              test_dataset_path=str(data),
