@@ -23,9 +23,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--directions", type=int, nargs="+", required=True,
                    help="direction indices 0..14 (0 yaw, 1 pitch, 2 roll, "
                         "3 jaw, 4 smile, 5-14 expressions)")
-    p.add_argument("--save_gif", action="store_true")
-    p.add_argument("--save_images", action="store_true", default=True)
-    p.add_argument("--optimize_generator", action="store_true", default=False)
+    p.add_argument("--save_gif", action=argparse.BooleanOptionalAction,
+                   default=False)
+    p.add_argument("--save_images", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--optimize_generator", action=argparse.BooleanOptionalAction,
+                   default=False)
     p.add_argument("--dataset_type", default="voxceleb")
     p.add_argument("--shifts_count", type=int, default=10)
     p.add_argument("--random_init", action="store_true")

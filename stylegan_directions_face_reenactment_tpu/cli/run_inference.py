@@ -24,13 +24,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--target_path", required=True,
                    help="target pose source: image, folder, or video")
     p.add_argument("--output_path", required=True)
-    p.add_argument("--optimize_generator", dest="optimize_generator",
-                   action="store_false", default=True,
-                   help="disable the PTI-style per-identity fine-tune "
-                        "(default ON like the reference)")
-    p.add_argument("--save_images", action="store_true")
-    p.add_argument("--save_grid", action="store_true")
-    p.add_argument("--save_video", action="store_true", default=True)
+    p.add_argument("--optimize_generator", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="PTI-style per-identity fine-tune (default ON like "
+                        "the reference; --no-optimize_generator disables — "
+                        "the reference's bare --optimize_generator flag "
+                        "confusingly meant disable)")
+    p.add_argument("--save_images", action=argparse.BooleanOptionalAction,
+                   default=False)
+    p.add_argument("--save_grid", action=argparse.BooleanOptionalAction,
+                   default=False)
+    p.add_argument("--save_video", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--dataset_type", default="voxceleb")
     p.add_argument("--image_resolution", type=int, default=None,
                    help="override the dataset's generator resolution "
@@ -146,9 +151,16 @@ def main(argv=None):
     grids = []
     bi = args.frame_batch
     idx = 0
-    for start in range(0, len(frames), bi):
-        chunk = frames[start:start + bi]
-        tgt_batch, ok = prep(chunk)
+    # host preprocessing of chunk i+1 overlaps device reenactment of chunk
+    # i (the reference's loop is fully sequential, `run_inference.py:170-195`)
+    from concurrent.futures import ThreadPoolExecutor
+    chunks = [frames[s:s + bi] for s in range(0, len(frames), bi)]
+    pool = ThreadPoolExecutor(1)
+    fut = pool.submit(prep, chunks[0]) if chunks else None
+    for ci, chunk in enumerate(chunks):
+        tgt_batch, ok = fut.result()
+        if ci + 1 < len(chunks):
+            fut = pool.submit(prep, chunks[ci + 1])
         pad = bi - len(chunk)
         tgt = np.concatenate([tgt_batch] + [tgt_batch[-1:]] * pad) if pad else tgt_batch
         reenacted, _ = reenact(source_code, params_source, angles_source,
@@ -171,6 +183,7 @@ def main(argv=None):
                 if args.save_video:
                     grids.append(grid)
             idx += 1
+    pool.shutdown(wait=False)
 
     if args.save_video and grids:
         from ..native.imgproc import generate_video

@@ -83,7 +83,7 @@ def test_run_inference_self_reenactment_on_bundled_mp4(tmp_path):
           "--output_path", str(out), "--random_init", "--skip_preprocess",
           "--image_resolution", RES, "--frame_batch", "4",
           "--video_stride", "40", "--save_images", "--save_grid",
-          "--optimize_generator"])  # store_false: flag DISABLES the PTI pass
+          "--no-optimize_generator"])
     frames = sorted(glob.glob(os.path.join(str(out), "[0-9]" * 6 + ".png")))
     assert frames, "no per-frame reenactment pngs written"
     _finite_png(frames[0])
@@ -105,7 +105,8 @@ def test_run_inference_cross_subject(tmp_path):
     main(["--source_path", PNG, "--target_path", MP4S[0],
           "--output_path", str(out), "--random_init", "--skip_preprocess",
           "--image_resolution", RES, "--frame_batch", "4",
-          "--video_stride", "40", "--save_images", "--optimize_generator"])
+          "--video_stride", "40", "--save_images",
+          "--no-optimize_generator"])
     frames = sorted(glob.glob(os.path.join(str(out), "[0-9]" * 6 + ".png")))
     assert frames
     _finite_png(frames[0])
