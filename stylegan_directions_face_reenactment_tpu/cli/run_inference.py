@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "warp to 224 like the reference "
                         "(decalib/datasets/datasets.py:57-86), 'resize' = "
                         "plain bilinear (faster)")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="shard target-frame batches over an N-device "
+                        "jax.sharding.Mesh (frame data parallelism; "
+                        "--frame_batch must divide it)")
     p.add_argument("--skip_preprocess", action="store_true",
                    help="inputs are already FFHQ-cropped 256 faces: bypass "
                         "detection/landmark cropping (also the smoke path "
@@ -145,8 +149,15 @@ def main(argv=None):
     # --- targets, batched -------------------------------------------------
     frames = _load_target_frames(args.target_path, args.video_stride)
     print(f"Run reenactment for {len(frames)} frames")
+    mesh = None
+    if args.n_devices is not None and args.n_devices > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh(args.n_devices)
+        if args.frame_batch % args.n_devices:
+            raise ValueError("--frame_batch must divide --n_devices")
     reenact = make_reenact_fn(g_src, a, deca, spec, truncation=0.7,
-                              truncation_latent=trunc, fan_params=fan_deca)
+                              truncation_latent=trunc, fan_params=fan_deca,
+                              mesh=mesh)
 
     grids = []
     bi = args.frame_batch

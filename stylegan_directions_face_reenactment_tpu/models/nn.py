@@ -44,7 +44,8 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
         rhs_dilation=dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=(jnp.float32 if x.dtype == jnp.float32
+                                else x.dtype),
     ).astype(x.dtype)
     if b is not None:
         out = out + b.astype(x.dtype)
@@ -53,7 +54,9 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None,
 
 def linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """x (..., in) @ w(out, in)^T + b."""
-    out = jnp.dot(x, w.T.astype(x.dtype), preferred_element_type=jnp.float32)
+    out = jnp.dot(x, w.T.astype(x.dtype),
+                  preferred_element_type=(jnp.float32 if x.dtype == jnp.float32
+                                          else x.dtype))
     out = out.astype(x.dtype)
     if b is not None:
         out = out + b.astype(x.dtype)

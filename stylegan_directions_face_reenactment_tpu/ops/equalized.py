@@ -33,7 +33,8 @@ def equal_linear(x: jnp.ndarray, weight: jnp.ndarray,
     in_dim = weight.shape[1]
     scale = lr_mul / math.sqrt(in_dim)
     w = (weight * scale).astype(x.dtype)
-    out = jnp.dot(x, w.T, preferred_element_type=jnp.float32).astype(x.dtype)
+    pet = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+    out = jnp.dot(x, w.T, preferred_element_type=pet).astype(x.dtype)
     if activation:
         return fused_leaky_relu(out, bias * lr_mul if bias is not None else None)
     if bias is not None:
@@ -55,7 +56,8 @@ def equal_conv2d(x: jnp.ndarray, weight: jnp.ndarray,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=(jnp.float32 if x.dtype == jnp.float32
+                                else x.dtype),
     ).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(x.dtype)

@@ -66,6 +66,11 @@ def modulated_conv2d(x: jnp.ndarray, weight: jnp.ndarray, style: jnp.ndarray,
     """
     kh, kw, cin, cout = weight.shape
     scale = 1.0 / math.sqrt(cin * kh * kw)
+    # f32 accumulation only for f32 operands: preferred_element_type=f32
+    # with bf16 operands breaks the conv transpose rule under jax.grad
+    # (the cotangent arrives f32 against bf16 weights); bf16 convs still
+    # accumulate f32 inside the MXU.
+    pet = jnp.float32 if x.dtype == jnp.float32 else x.dtype
 
     demod = modulation_demod(weight, style, eps) if demodulate else None
 
@@ -83,7 +88,7 @@ def modulated_conv2d(x: jnp.ndarray, weight: jnp.ndarray, style: jnp.ndarray,
             padding=((kh - 1, kh - 1), (kw - 1, kw - 1)),
             lhs_dilation=(factor, factor),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=pet,
         ).astype(x.dtype)
         # Output size (H-1)*2 + kh == torch conv_transpose2d(stride=2, pad=0).
         p = (len(blur_kernel) - factor) - (kh - 1)
@@ -103,7 +108,7 @@ def modulated_conv2d(x: jnp.ndarray, weight: jnp.ndarray, style: jnp.ndarray,
             window_strides=(factor, factor),
             padding=((0, 0), (0, 0)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=pet,
         ).astype(x.dtype)
     else:
         pad = kh // 2
@@ -112,7 +117,7 @@ def modulated_conv2d(x: jnp.ndarray, weight: jnp.ndarray, style: jnp.ndarray,
             window_strides=(1, 1),
             padding=((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=pet,
         ).astype(x.dtype)
 
     if demod is not None:

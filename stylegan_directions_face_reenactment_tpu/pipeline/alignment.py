@@ -51,17 +51,25 @@ def warp_to_224(images01: jnp.ndarray, center: jnp.ndarray,
     return scale_translate_warp(images01, s, tx, ty, (DECA_CROP, DECA_CROP))
 
 
-def make_fan_align(fan_params: Params):
+def make_fan_align(fan_params: Params, compute_dtype=None):
     """Batched DECA aligner: [0,1] images (any square size) → (B, 224, 224, 3).
 
     Uses FAN landmarks on the (resized-to-256) image for the bbox,
     matching the reference's FAN detector path (`decalib/datasets/
-    detectors.py:23-42` derives the bbox from FAN landmarks)."""
+    detectors.py:23-42` derives the bbox from FAN landmarks).
+
+    ``compute_dtype``: run the (HBM-bound) FAN forward in this dtype —
+    bf16 halves its traffic; the landmark peaks are stop-gradient crop
+    metadata, so sub-pixel rounding only jitters the crop box by <1 px.
+    Default None keeps f32 (exact reference parity)."""
 
     def align(images01: jnp.ndarray) -> jnp.ndarray:
         h = images01.shape[1]
         im256 = images01 if h == 256 else resize_bilinear(images01, (256, 256))
-        heat = fan_forward(fan_params, jax.lax.stop_gradient(im256))[-1]
+        fan_in = jax.lax.stop_gradient(im256)
+        if compute_dtype is not None:
+            fan_in = fan_in.astype(compute_dtype)
+        heat = fan_forward(fan_params, fan_in)[-1].astype(jnp.float32)
         pts = heatmaps_to_landmarks(heat) + 1.0
         # FAN ran on the full 256 frame: center (128,128), scale 256/200
         center0 = jnp.tile(jnp.asarray([[128.0, 128.0]]), (images01.shape[0], 1))

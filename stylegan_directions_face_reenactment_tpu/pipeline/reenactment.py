@@ -23,11 +23,11 @@ from .synthesis import generate_image
 Params = Dict[str, Any]
 
 
-def align_for(fan_params: Optional[Params]):
+def align_for(fan_params: Optional[Params], compute_dtype=None):
     if fan_params is None:
         return None
     from .alignment import make_fan_align
-    return make_fan_align(fan_params)
+    return make_fan_align(fan_params, compute_dtype=compute_dtype)
 
 
 def source_shape(deca_params: Params, source_img: jnp.ndarray,
@@ -62,8 +62,10 @@ def reenact_batch(g_params: Params, a_params: Params, deca_params: Params,
     (cf. reference per-frame loop `run_inference.py:170-195`).
     """
     t = target_imgs.shape[0]
+    align_dtype = None if compute_dtype == jnp.float32 else compute_dtype
     params_target, angles_target = calculate_shapemodel(
-        deca_params, target_imgs, align_fn=align_for(fan_params))
+        deca_params, target_imgs,
+        align_fn=align_for(fan_params, compute_dtype=align_dtype))
 
     ps = {k: jnp.broadcast_to(v, (t,) + v.shape[1:])
           for k, v in params_source.items()}
@@ -86,18 +88,27 @@ def make_reenact_fn(g_params: Params, a_params: Params, deca_params: Params,
                     spec: DirectionsSpec, *, truncation: float = 0.7,
                     truncation_latent: Optional[jnp.ndarray] = None,
                     num_layers_shift: int = 8, compute_dtype=jnp.float32,
-                    fan_params: Optional[Params] = None):
+                    fan_params: Optional[Params] = None, mesh=None):
     """Jitted reenactor: (source_code, params_source, angles_source,
     target_imgs) → (reenacted, latents). ``fan_params`` enables the
     reference's FAN-warp DECA alignment on the target frames.
 
     The frozen weights ride through jit as ARGUMENTS, not closure
     constants — hundreds of MB of baked-in constants overflow compile
-    pipelines (the tunneled remote-compile rejects them outright)."""
+    pipelines (the tunneled remote-compile rejects them outright).
+
+    ``mesh``: a `jax.sharding.Mesh` — the frozen weights are replicated
+    over it and every target-frame batch is sharded on axis 0 (frame data
+    parallelism; the frame batch must divide the mesh)."""
     from ..train.steps import merge_statics, strip_statics
 
     weights, statics = strip_statics((g_params, a_params, deca_params,
                                       fan_params, truncation_latent))
+    place_batch = None
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_batch
+        weights = replicate(mesh, weights)
+        place_batch = lambda t: shard_batch(mesh, t)
 
     @jax.jit
     def _fn(weights, source_code, params_source, angles_source, target_imgs):
@@ -110,6 +121,12 @@ def make_reenact_fn(g_params: Params, a_params: Params, deca_params: Params,
             fan_params=fan)
 
     def fn(source_code, params_source, angles_source, target_imgs):
+        if place_batch is not None:
+            from ..parallel.mesh import replicate
+            target_imgs = place_batch(jnp.asarray(target_imgs))
+            source_code, params_source, angles_source = replicate(
+                mesh, (jnp.asarray(source_code), params_source,
+                       angles_source))
         return _fn(weights, source_code, params_source, angles_source,
                    target_imgs)
 

@@ -226,3 +226,40 @@ def test_trainer_rejects_indivisible_batch(tmp_path, mesh, tiny_models):
                              experiment_path=str(tmp_path / "exp"))
     with pytest.raises(ValueError, match="must divide the mesh"):
         Trainer(args, tiny_models, mesh=mesh, log_fn=lambda s: None)
+
+
+@pytest.mark.slow
+def test_reenact_fn_sharded_matches_single_device(mesh, tiny_models):
+    """Frame-data-parallel inference: make_reenact_fn(mesh=...) shards the
+    target batch over the mesh and reproduces single-device outputs."""
+    from stylegan_directions_face_reenactment_tpu.geometry import (
+        initialize_directions)
+    from stylegan_directions_face_reenactment_tpu.models import (
+        init_direction_matrix, n_latent_for)
+    from stylegan_directions_face_reenactment_tpu.pipeline.reenactment import (
+        make_reenact_fn)
+
+    spec = initialize_directions("voxceleb", 15, 6.0)
+    a = init_direction_matrix(jax.random.PRNGKey(1), 512, 15, w_plus=True,
+                              num_layers=8)
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    code = jax.random.normal(ks[0], (1, n_latent_for(SIZE), 512))
+    tgts = jax.random.uniform(ks[1], (N_DEV, SIZE, SIZE, 3), minval=-1.0,
+                              maxval=1.0)
+    ps = {"pose": jnp.zeros((1, 6)), "alpha_shp": jnp.zeros((1, 100)),
+          "alpha_exp": jnp.zeros((1, 50)),
+          "cam": jnp.asarray([[8.0, 0.0, 0.0]])}
+    ang = jnp.zeros((1, 3))
+
+    g, deca = tiny_models.generator, tiny_models.deca
+    trunc = tiny_models.truncation_latent
+    fn1 = make_reenact_fn(g, a, deca, spec, truncation=0.7,
+                          truncation_latent=trunc)
+    fn8 = make_reenact_fn(g, a, deca, spec, truncation=0.7,
+                          truncation_latent=trunc, mesh=mesh)
+    out1, lat1 = fn1(code, ps, ang, tgts)
+    out8, lat8 = fn8(code, ps, ang, tgts)
+    assert len(out8.sharding.device_set) == N_DEV
+    # per-device partitions change fusion boundaries; f32 noise only
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lat8), np.asarray(lat1), atol=1e-4)
