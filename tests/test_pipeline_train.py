@@ -227,3 +227,32 @@ def test_kpt68_warp(world):
     img = jax.random.uniform(jax.random.PRNGKey(1), (2, 256, 256, 3))
     out = warp_to_224(img, center, size)
     assert out.shape == (2, 224, 224, 3)
+
+
+def test_reenact_bf16_close_to_f32(world):
+    """The bf16 compute path (synthesis + optional FAN align) must track
+    the f32 path — guards the dtype plumbing (accumulation dtypes, casts)
+    behind compute_dtype."""
+    import jax.numpy as jnp
+    g, a, deca, spec = world["g"], world["a"], world["deca"], world["spec"]
+    code = jax.random.normal(jax.random.PRNGKey(20),
+                             (1, n_latent_for(SIZE), 512))
+    tgts = jax.random.uniform(jax.random.PRNGKey(21), (2, SIZE, SIZE, 3),
+                              minval=-1.0, maxval=1.0)
+    ps = {"pose": jnp.zeros((1, 6)), "alpha_shp": jnp.zeros((1, 100)),
+          "alpha_exp": jnp.zeros((1, 50)),
+          "cam": jnp.asarray([[8.0, 0.0, 0.0]])}
+    ang = jnp.zeros((1, 3))
+    from stylegan_directions_face_reenactment_tpu.pipeline.reenactment import (
+        reenact_batch)
+    trunc = world["trunc"]
+    out32, _ = reenact_batch(g, a, deca, spec, code, ps, ang, tgts,
+                             truncation=0.7, truncation_latent=trunc,
+                             compute_dtype=jnp.float32)
+    out16, _ = reenact_batch(g, a, deca, spec, code, ps, ang, tgts,
+                             truncation=0.7, truncation_latent=trunc,
+                             compute_dtype=jnp.bfloat16)
+    assert out16.dtype == out32.dtype == jnp.float32 or out16.shape == out32.shape
+    err = float(jnp.abs(out16.astype(jnp.float32) -
+                        out32.astype(jnp.float32)).mean())
+    assert err < 0.1, f"bf16 path diverged from f32: mean abs {err}"
