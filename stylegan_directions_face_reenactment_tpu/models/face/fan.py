@@ -195,7 +195,20 @@ def heatmaps_to_landmarks(hm: jnp.ndarray) -> jnp.ndarray:
     # minor forces a real relayout on TPU (~4 ms at batch 16); reducing
     # and gathering over the non-minor flattened-spatial axis does not
     flat = hm.reshape(b, h * w, n)                     # (B, H·W, 68)
-    idx = jnp.argmax(flat, axis=1)                     # (B, 68), 0-based
+    # peak via one big W-reduce + small index passes (argmax over the
+    # flattened spatial axis lowers to expensive full-size compare-select
+    # reductions on TPU). jnp.argmax semantics = FIRST maximum: the
+    # min-over-iota on row/col matches (first row containing the max,
+    # first column within it — row-major order, like flat argmax).
+    row_max = hm.max(axis=2)                           # (B, H, 68): ONE big pass
+    mx = row_max.max(axis=1, keepdims=True)            # (B, 1, 68)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, row_max.shape, 1)
+    py_ = jnp.where(row_max == mx, iota_h, h).min(axis=1)     # (B, 68)
+    rows = jnp.take_along_axis(hm, py_[:, None, None, :],
+                               axis=1)[:, 0]           # (B, W, 68)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    px_ = jnp.where(rows == mx, iota_w, w).min(axis=1)        # (B, 68)
+    idx = py_ * w + px_                                # (B, 68), 0-based
     px = (idx % w).astype(jnp.int32)                   # 0-based x
     py = (idx // w).astype(jnp.int32)                  # 0-based y
 
