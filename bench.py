@@ -58,7 +58,7 @@ def main():
     from stylegan_directions_face_reenactment_tpu.models.deca import (
         init_deca, synthetic_flame_params)
     from stylegan_directions_face_reenactment_tpu.models.face import (
-        estimate_landmarks, crop_using_landmarks, init_fan, init_s3fd)
+        estimate_landmarks, init_fan, init_s3fd)
     from stylegan_directions_face_reenactment_tpu.pipeline.reenactment import (
         make_reenact_fn, source_shape)
 
@@ -143,15 +143,14 @@ def main():
         # the [-1,1] conversion runs on device
         return u8.astype(jnp.float32) / 127.5 - 1.0
 
+    from stylegan_directions_face_reenactment_tpu.models.face.cropping import (
+        crop_using_landmarks_batch)
+
     def full_path():
         pts, valid, _ = _el(det_w, frames_dev)
         jax.block_until_ready(pts)
-        crops = np.zeros((batch, 256, 256, 3), np.uint8)
-        for i in range(batch):
-            crop = crop_using_landmarks(frames_u8[i], fake_lms[i],
-                                        image_size=256)
-            if crop is not None:
-                crops[i] = crop
+        crops, _ok = crop_using_landmarks_batch(frames_u8, fake_lms,
+                                                image_size=256)
         return fn_fan(source_code, params_source, angles_source,
                       _to_gan(jnp.asarray(crops)))[0]
 

@@ -86,3 +86,38 @@ def crop_using_landmarks(image: np.ndarray,
     img = Image.fromarray(np.clip(cropped, 0, 255).astype(np.uint8))
     img = img.resize((image_size, image_size), Image.BICUBIC)
     return np.array(img)
+
+
+def crop_using_landmarks_batch(images, landmarks_list, image_size: int = 256):
+    """Batch FFHQ crop: native threaded fast path for in-frame boxes
+    (`native/reenact_io.cpp::rio_ffhq_crop_batch`), Python slow path
+    (reflect-pad + blur + median fade) for the rest.
+
+    images: list/array of (H, W, 3) uint8 (uniform shape for the native
+    path; mixed shapes fall back per image); landmarks_list: (B, 68, 2).
+    Returns (crops (B, image_size, image_size, 3) uint8, ok (B,) bool).
+    """
+    b = len(images)
+    out = np.zeros((b, image_size, image_size, 3), np.uint8)
+    ok = np.zeros((b,), bool)
+    done = None
+    shapes = {np.asarray(im).shape for im in images}
+    if len(shapes) == 1:
+        from ...native.imgproc import ffhq_crop_batch
+        batch = np.stack([np.asarray(im, np.uint8) for im in images])
+        crops, done = ffhq_crop_batch(batch,
+                                      np.asarray(landmarks_list, np.float32),
+                                      image_size)
+        if done is not None:
+            out[done] = crops[done]
+            ok[done] = True
+    for i in range(b):
+        if done is not None and done[i]:
+            continue
+        crop = crop_using_landmarks(np.asarray(images[i]),
+                                    np.asarray(landmarks_list[i]),
+                                    image_size=image_size)
+        if crop is not None:
+            out[i] = crop
+            ok[i] = True
+    return out, ok

@@ -65,6 +65,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                      ctypes.c_int64]
     lib.rio_from_gan_range.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                        ctypes.c_int64]
+    lib.rio_ffhq_crop_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -174,3 +177,26 @@ def from_gan_range(batch_f32: np.ndarray) -> np.ndarray:
                            out.ctypes.data_as(ctypes.c_void_p),
                            batch_f32.size)
     return out
+
+
+def ffhq_crop_batch(images: np.ndarray, landmarks: np.ndarray,
+                    image_size: int = 256):
+    """Batched, threaded native FFHQ landmark crop (in-frame fast path of
+    `models/face/cropping.py::crop_using_landmarks`, PIL-compatible
+    antialiased bicubic). Returns (crops (B, S, S, 3) u8, done (B,) bool);
+    where done[i] is False the caller must run the Python slow path
+    (out-of-frame box -> reflect-pad + blur + median fade).
+    Returns (None, None) when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None, None
+    images = np.ascontiguousarray(images, np.uint8)
+    landmarks = np.ascontiguousarray(landmarks, np.float32)
+    b, h, w, _ = images.shape
+    out = np.empty((b, image_size, image_size, 3), np.uint8)
+    done = np.zeros((b,), np.int32)
+    lib.rio_ffhq_crop_batch(images.ctypes.data_as(ctypes.c_void_p), b, h, w,
+                            landmarks.ctypes.data_as(ctypes.c_void_p),
+                            out.ctypes.data_as(ctypes.c_void_p), image_size,
+                            done.ctypes.data_as(ctypes.c_void_p))
+    return out, done.astype(bool)

@@ -15,7 +15,11 @@
 //
 // Exposed via a plain C ABI consumed by ctypes (`native/imgproc.py`).
 
+#include <atomic>
+#include <cmath>
 #include <cstdint>
+#include <thread>
+#include <vector>
 #include <cstdio>
 #include <cstring>
 #include <vector>
@@ -291,6 +295,167 @@ void rio_resize_bilinear_u8(const uint8_t* src, int n, int h, int w,
             }
         }
     }
+}
+
+
+// ---------------------------------------------------------------------------
+// FFHQ landmark crop (reference `ffhq_cropping.py:49-69` fast path)
+// ---------------------------------------------------------------------------
+
+// PIL-compatible bicubic resampling (a = -0.5, antialias: the filter
+// support scales with the downscale ratio, like ImagingResample's float
+// path). Separable with precomputed per-axis weight tables; both passes
+// stream rows (cache-friendly).
+static inline double rio_cubic(double x) {
+    const double a = -0.5;
+    if (x < 0) x = -x;
+    if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+    if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+    return 0.0;
+}
+
+struct RioAxisTable {
+    std::vector<int> lo, len;
+    std::vector<float> w;   // out_len rows of max_len weights
+    int max_len = 0;
+};
+
+static RioAxisTable rio_axis_table(int in_len, int out_len) {
+    RioAxisTable t;
+    const double scale = (double)in_len / out_len;
+    const double filterscale = scale > 1.0 ? scale : 1.0;
+    const double support = 2.0 * filterscale;
+    t.max_len = (int)std::ceil(2.0 * support) + 2;
+    t.lo.resize(out_len);
+    t.len.resize(out_len);
+    t.w.assign((size_t)out_len * t.max_len, 0.0f);
+    for (int i = 0; i < out_len; i++) {
+        const double center = (i + 0.5) * scale;
+        int lo = (int)(center - support + 0.5);
+        int hi = (int)(center + support + 0.5);
+        if (lo < 0) lo = 0;
+        if (hi > in_len) hi = in_len;
+        double wsum = 0.0;
+        float* row = t.w.data() + (size_t)i * t.max_len;
+        for (int j = lo; j < hi; j++) {
+            const double wgt = rio_cubic((j - center + 0.5) / filterscale);
+            row[j - lo] = (float)wgt;
+            wsum += wgt;
+        }
+        if (wsum != 0.0)
+            for (int j = 0; j < hi - lo; j++) row[j] = (float)(row[j] / wsum);
+        t.lo[i] = lo;
+        t.len[i] = hi - lo;
+    }
+    return t;
+}
+
+// numpy-compatible round-half-even (the Python path uses ndarray.round()).
+static inline long rio_round_half_even(double v) {
+    const double f = std::floor(v);
+    const double diff = v - f;
+    if (diff > 0.5) return (long)f + 1;
+    if (diff < 0.5) return (long)f;
+    const long fl = (long)f;
+    return (fl % 2 == 0) ? fl : fl + 1;
+}
+
+// One FFHQ crop: landmark bbox -> square crop box -> bicubic resize to
+// out_size. Returns 1 on success; 0 when the box leaves the frame or is
+// degenerate (caller falls back to the Python pad+blur+fade slow path).
+static int rio_ffhq_crop_one(const uint8_t* img, int h, int w,
+                             const float* lms, uint8_t* out, int out_size) {
+    double minx = lms[0], maxx = lms[0], miny = lms[1], maxy = lms[1];
+    for (int i = 1; i < 68; i++) {
+        const double x = lms[2 * i], y = lms[2 * i + 1];
+        if (x < minx) minx = x;
+        if (x > maxx) maxx = x;
+        if (y < miny) miny = y;
+        if (y > maxy) maxy = y;
+    }
+    const long cx = rio_round_half_even((minx + maxx) / 2.0);
+    long cy = rio_round_half_even((miny + maxy) / 2.0);
+    long size = (long)((maxx - minx) > (maxy - miny) ? (maxx - minx)
+                                                     : (maxy - miny));
+    if (size <= 0) return 0;
+    cy -= size / 6;
+    const long x1 = cx - size, y1 = cy - size;
+    const long x2 = cx + size, y2 = cy + size;
+    if (x1 < 0 || y1 < 0 || x2 > w || y2 > h) return 0;  // slow path
+    const int cw = (int)(x2 - x1), ch = (int)(y2 - y1);
+
+    const RioAxisTable tx = rio_axis_table(cw, out_size);
+    const RioAxisTable ty = rio_axis_table(ch, out_size);
+
+    // horizontal pass: (ch, cw, 3) u8 -> (ch, out, 3), streaming rows.
+    // PIL quantizes the intermediate image to uint8 between the two
+    // passes (8-bit pipeline); match it for parity.
+    auto q8 = [](float v) -> float {
+        if (v < 0) v = 0;
+        if (v > 255) v = 255;
+        return (float)(int)(v + 0.5f);
+    };
+    std::vector<float> tmp((size_t)ch * out_size * 3);
+    for (int y = 0; y < ch; y++) {
+        const uint8_t* sp = img + (((size_t)(y1 + y) * w) + x1) * 3;
+        float* dp = tmp.data() + (size_t)y * out_size * 3;
+        for (int i = 0; i < out_size; i++) {
+            const float* wr = tx.w.data() + (size_t)i * tx.max_len;
+            const uint8_t* jp = sp + (size_t)tx.lo[i] * 3;
+            float a0 = 0, a1 = 0, a2 = 0;
+            for (int j = 0; j < tx.len[i]; j++, jp += 3) {
+                const float wgt = wr[j];
+                a0 += wgt * jp[0];
+                a1 += wgt * jp[1];
+                a2 += wgt * jp[2];
+            }
+            dp[3 * i] = q8(a0);
+            dp[3 * i + 1] = q8(a1);
+            dp[3 * i + 2] = q8(a2);
+        }
+    }
+    // vertical pass: accumulate whole rows (contiguous axpy)
+    const int row_elems = out_size * 3;
+    std::vector<float> acc(row_elems);
+    for (int i = 0; i < out_size; i++) {
+        std::fill(acc.begin(), acc.end(), 0.0f);
+        const float* wr = ty.w.data() + (size_t)i * ty.max_len;
+        for (int j = 0; j < ty.len[i]; j++) {
+            const float wgt = wr[j];
+            const float* rp = tmp.data() + (size_t)(ty.lo[i] + j) * row_elems;
+            for (int k = 0; k < row_elems; k++) acc[k] += wgt * rp[k];
+        }
+        uint8_t* op = out + (size_t)i * row_elems;
+        for (int k = 0; k < row_elems; k++) {
+            float v = acc[k];
+            if (v < 0) v = 0;
+            if (v > 255) v = 255;
+            op[k] = (uint8_t)(v + 0.5f);
+        }
+    }
+    return 1;
+}
+
+// Batched, threaded FFHQ crop. imgs: (B, H, W, 3) u8; lms: (B, 68, 2) f32;
+// out: (B, out_size, out_size, 3); done: (B,) int32 (1 = cropped here,
+// 0 = caller must run the Python slow path for that image).
+void rio_ffhq_crop_batch(const uint8_t* imgs, int b, int h, int w,
+                         const float* lms, uint8_t* out, int out_size,
+                         int32_t* done) {
+    const int n_threads = b < 8 ? b : 8;
+    std::vector<std::thread> ts;
+    std::atomic<int> next(0);
+    for (int t = 0; t < n_threads; t++) {
+        ts.emplace_back([&]() {
+            int i;
+            while ((i = next.fetch_add(1)) < b) {
+                done[i] = rio_ffhq_crop_one(
+                    imgs + (size_t)i * h * w * 3, h, w, lms + (size_t)i * 136,
+                    out + (size_t)i * out_size * out_size * 3, out_size);
+            }
+        });
+    }
+    for (auto& th : ts) th.join();
 }
 
 // uint8 RGB -> float32 in [-1, 1] (the GAN input range).

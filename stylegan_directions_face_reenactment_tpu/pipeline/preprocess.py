@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from PIL import Image
 
-from ..models.face import estimate_landmarks, crop_using_landmarks
+from ..models.face import estimate_landmarks
 
 Params = Dict[str, Any]
 
@@ -68,12 +68,17 @@ def preprocess_images(s3fd_params: Params, fan_params: Params,
             ok[i] = bool(valid[j])
 
     out = np.zeros((len(resized), image_size, image_size, 3), np.float32)
-    for i, (im, lm) in enumerate(zip(resized, lms)):
-        if not ok[i]:
-            continue
-        crop = crop_using_landmarks(im, lm, image_size=image_size)
-        if crop is None:
-            ok[i] = False
-            continue
-        out[i] = to_gan_range(crop)
+    det = [i for i in range(len(resized)) if ok[i]]
+    if det:
+        # native threaded batch crop (in-frame fast path; Python
+        # pad+blur+fade fallback handled inside)
+        from ..models.face.cropping import crop_using_landmarks_batch
+        crops, crop_ok = crop_using_landmarks_batch(
+            [resized[i] for i in det], [lms[i] for i in det],
+            image_size=image_size)
+        for j, i in enumerate(det):
+            if crop_ok[j]:
+                out[i] = to_gan_range(crops[j])
+            else:
+                ok[i] = False
     return out, ok

@@ -50,3 +50,36 @@ def test_decode_reference_example_strided():
     first = imgproc.extract_frames(REF_MP4, get_only_first=True)
     assert len(first) == 1
     np.testing.assert_array_equal(first[0], fr[0])
+
+
+def test_native_ffhq_crop_matches_python():
+    """The native threaded FFHQ crop (PIL-compatible antialiased bicubic,
+    u8-quantized intermediate pass) must match crop_using_landmarks within
+    1 intensity unit on in-frame boxes, and defer out-of-frame boxes to
+    the Python slow path."""
+    from stylegan_directions_face_reenactment_tpu.models.face.cropping import (
+        crop_using_landmarks, crop_using_landmarks_batch)
+    from stylegan_directions_face_reenactment_tpu.native.imgproc import (
+        ffhq_crop_batch, get_lib)
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native runtime unavailable")
+    rng = np.random.RandomState(0)
+    imgs = (rng.rand(4, 300, 300, 3) * 255).astype(np.uint8)
+    lms = (rng.rand(4, 68, 2) * 80 + 110).astype(np.float32)   # in-frame
+    crops, done = ffhq_crop_batch(imgs, lms)
+    assert done.all()
+    for i in range(4):
+        ref = crop_using_landmarks(imgs[i], lms[i])
+        diff = np.abs(crops[i].astype(int) - ref.astype(int))
+        assert diff.max() <= 1, diff.max()
+
+    # out-of-frame landmarks: native defers, batch helper falls back
+    lms_oob = lms.copy()
+    lms_oob[0] -= 100.0
+    _, done2 = ffhq_crop_batch(imgs, lms_oob)
+    assert not done2[0] and done2[1:].all()
+    out, ok = crop_using_landmarks_batch(list(imgs), lms_oob)
+    assert ok.all()
+    ref0 = crop_using_landmarks(imgs[0], lms_oob[0])
+    np.testing.assert_array_equal(out[0], ref0)
