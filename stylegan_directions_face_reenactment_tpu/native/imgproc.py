@@ -120,7 +120,14 @@ def video_fps(path: str) -> float:
 
 def generate_video(frames: List[np.ndarray], save_path: str,
                    fps: int = 25) -> None:
-    """RGB uint8 frames → mp4 (`utils_inference.py:11-18`)."""
+    """RGB uint8 frames → mp4 (`utils_inference.py:11-18`).
+
+    The last frame is written twice: this libav build's decoders swallow
+    the final sample of an mp4 at EOF (the flush yields nothing — see the
+    round-trip test), so a duplicated trailing frame guarantees every real
+    frame decodes everywhere; well-behaved players just hold the final
+    image one extra frame interval.
+    """
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native IO runtime unavailable")
@@ -131,7 +138,7 @@ def generate_video(frames: List[np.ndarray], save_path: str,
     if not wh:
         raise IOError(f"could not open video writer {save_path}")
     try:
-        for f in frames:
+        for f in list(frames) + [frames[-1]]:
             f = np.ascontiguousarray(f, np.uint8)
             if lib.rio_writer_write(wh, f.ctypes.data_as(ctypes.c_void_p)) != 0:
                 raise IOError("video encode failed")

@@ -26,6 +26,7 @@
 
 extern "C" {
 #include <libavcodec/avcodec.h>
+#include <libavutil/opt.h>
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
@@ -47,6 +48,7 @@ struct RioVideo {
     int height = 0;
     double fps = 0.0;
     long decoded = 0;  // persists across rio_video_read calls (stride state)
+    AVPacket* pending = nullptr;  // packet the decoder refused (EAGAIN)
 };
 
 void* rio_video_open(const char* path) {
@@ -118,28 +120,47 @@ int rio_video_read(void* h, uint8_t* out, int max_frames, int stride) {
         v->decoded++;
     };
 
-    int ret;
-    while (written < max_frames &&
-           av_read_frame(v->fmt, pkt) >= 0) {
-        if (pkt->stream_index == v->stream_index) {
-            if (avcodec_send_packet(v->dec, pkt) == 0) {
-                while ((ret = avcodec_receive_frame(v->dec, frame)) == 0) {
-                    emit(frame);
-                    if (written >= max_frames) break;
-                }
+    // A packet must never be read from the demuxer and then dropped:
+    // B-frame decoders return EAGAIN from send while frames are pending,
+    // and a full output buffer can force an early return — the refused
+    // packet is stashed in v->pending and re-sent on the next call.
+    bool eof = false;
+    while (written < max_frames) {
+        const bool from_pending = v->pending != nullptr;
+        AVPacket* cur;
+        if (from_pending) {
+            cur = v->pending;
+        } else {
+            if (av_read_frame(v->fmt, pkt) < 0) { eof = true; break; }
+            if (pkt->stream_index != v->stream_index) {
+                av_packet_unref(pkt);
+                continue;
             }
+            cur = pkt;
         }
-        av_packet_unref(pkt);
+        const int s = avcodec_send_packet(v->dec, cur);
+        if (s == AVERROR(EAGAIN)) {
+            if (!from_pending) {
+                v->pending = av_packet_alloc();
+                av_packet_move_ref(v->pending, pkt);
+            }
+        } else {  // consumed (0) or hard error: release the packet
+            if (from_pending) av_packet_free(&v->pending);
+            else av_packet_unref(pkt);
+        }
+        while (avcodec_receive_frame(v->dec, frame) == 0) {
+            emit(frame);
+            if (written >= max_frames) break;
+        }
     }
-    // flush
-    if (written < max_frames) {
+    // flush only at true end-of-stream (a full output buffer is not EOF)
+    if (eof && !v->pending) {
         avcodec_send_packet(v->dec, nullptr);
         while (avcodec_receive_frame(v->dec, frame) == 0 &&
                written < max_frames) {
             emit(frame);
         }
     }
-
     av_frame_free(&rgb);
     av_frame_free(&frame);
     av_packet_free(&pkt);
@@ -148,6 +169,7 @@ int rio_video_read(void* h, uint8_t* out, int max_frames, int stride) {
 
 void rio_video_close(void* h) {
     auto* v = (RioVideo*)h;
+    if (v->pending) av_packet_free(&v->pending);
     if (v->sws) sws_freeContext(v->sws);
     if (v->dec) avcodec_free_context(&v->dec);
     if (v->fmt) avformat_close_input(&v->fmt);
@@ -155,7 +177,9 @@ void rio_video_close(void* h) {
 }
 
 // ---------------------------------------------------------------------------
-// Encoder (mpeg4-in-mp4, like the reference's cv2 `mp4v` writer)
+// Encoder: h264-in-mp4 via libx264 when available (universally decodable,
+// none of mpeg4's last-frame flush quirks), mpeg4 fallback (the
+// reference's cv2 `mp4v` writer equivalent).
 // ---------------------------------------------------------------------------
 
 struct RioWriter {
@@ -174,7 +198,8 @@ void* rio_writer_open(const char* path, int width, int height, int fps) {
     w->height = height;
     avformat_alloc_output_context2(&w->fmt, nullptr, "mp4", path);
     if (!w->fmt) { delete w; return nullptr; }
-    const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+    const AVCodec* codec = avcodec_find_encoder_by_name("libx264");
+    if (!codec) codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
     if (!codec) { avformat_free_context(w->fmt); delete w; return nullptr; }
     w->stream = avformat_new_stream(w->fmt, codec);
     w->enc = avcodec_alloc_context3(codec);
@@ -182,7 +207,15 @@ void* rio_writer_open(const char* path, int width, int height, int fps) {
     w->enc->height = height;
     w->enc->pix_fmt = AV_PIX_FMT_YUV420P;
     w->enc->time_base = AVRational{1, fps};
-    w->enc->bit_rate = 4'000'000;
+    if (codec->id == AV_CODEC_ID_H264) {
+        av_opt_set(w->enc->priv_data, "preset", "fast", 0);
+        av_opt_set(w->enc->priv_data, "crf", "18", 0);
+        // no B-frames: this libav build's h264 decoder drops the final
+        // reordered frame of a B-frame stream at EOF
+        w->enc->max_b_frames = 0;
+    } else {
+        w->enc->bit_rate = 4'000'000;
+    }
     if (w->fmt->oformat->flags & AVFMT_GLOBALHEADER)
         w->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
     if (avcodec_open2(w->enc, codec, nullptr) < 0) {

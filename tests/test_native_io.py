@@ -83,3 +83,27 @@ def test_native_ffhq_crop_matches_python():
     assert ok.all()
     ref0 = crop_using_landmarks(imgs[0], lms_oob[0])
     np.testing.assert_array_equal(out[0], ref0)
+
+
+def test_video_write_read_roundtrip_exact():
+    """Every written frame decodes back, in order (h264 writer + trailing
+    duplicate frame working around this libav build's swallowed-last-sample
+    flush defect)."""
+    import tempfile, os
+    from stylegan_directions_face_reenactment_tpu.native.imgproc import (
+        extract_frames, generate_video, get_lib)
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native runtime unavailable")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "rt.mp4")
+        n = 23
+        frames = [np.full((48, 48, 3), (i * 9) % 250, np.uint8)
+                  for i in range(n)]
+        generate_video(frames, path)
+        back = extract_frames(path)
+        assert len(back) == n
+        vals = [int(round(b.mean() / 9)) for b in back]
+        assert vals == [((i * 9) % 250) // 9 for i in range(n)]
+        # stride decimation still works
+        assert len(extract_frames(path, stride=5)) == (n + 1 + 4) // 5
