@@ -9,7 +9,6 @@ the source file. `--random-init` builds randomly-initialized models instead
 from __future__ import annotations
 
 import os
-import pickle
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np

@@ -88,7 +88,6 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from ..geometry import initialize_directions
-    from ..models.deca import calculate_shapemodel
     from ..pipeline import (invert_image, make_reenact_fn, optimize_g,
                             preprocess_images, source_shape)
     from ..utils.image_utils import (generate_grid_image, load_image,

@@ -14,7 +14,6 @@ hyperparameter dict (`config_arguments.py`) is merged via
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 import jax
 

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from ...geometry.rotations import (batch_axis2euler, batch_orth_proj, rad2deg)
-from ..nn import batch_norm, conv2d, leaky_relu, linear, relu, tanh, upsample_nearest, resize_bilinear
+from ..nn import (batch_norm, conv2d, leaky_relu, linear, relu, tanh,
+                  resize_bilinear)
 from .flame import flame_forward, synthetic_flame_params
 from .resnet import init_resnet50, resnet50_features
 

@@ -12,7 +12,7 @@ from typing import Any, Dict, List
 import jax
 import jax.numpy as jnp
 
-from ..nn import avg_pool2d, batch_norm, conv2d, max_pool2d, relu
+from ..nn import batch_norm, conv2d, max_pool2d, relu
 
 Params = Dict[str, Any]
 

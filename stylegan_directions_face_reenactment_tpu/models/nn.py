@@ -11,7 +11,7 @@ Conv weights are HWIO; linear weights are (out, in) torch-style.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ up/downsample variants stay exact:
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Sequence
 
 import jax

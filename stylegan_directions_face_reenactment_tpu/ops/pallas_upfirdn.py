@@ -26,8 +26,7 @@ and gradient pads, `op/upfirdn2d.py:112-117`).
 from __future__ import annotations
 
 import functools
-import math
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 from ..models.face.fan import fan_forward, heatmaps_to_landmarks, landmarks_to_image_coords
-from ..models.face.landmarks import box_to_center_scale, crop_faces
 from ..models.nn import resize_bilinear, scale_translate_warp
 
 Params = Dict[str, Any]

@@ -8,7 +8,7 @@ the FFHQ crop (reflect-pad + fade) stays host-side like the reference.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import numpy as np
 import jax

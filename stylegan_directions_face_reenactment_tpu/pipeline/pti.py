@@ -10,7 +10,7 @@ traced parameter pytree; everything else is closed over as constants.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 from typing import Any, Callable, Dict, Optional
 
 import numpy as np

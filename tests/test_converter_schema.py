@@ -14,12 +14,11 @@ import types
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 import torch
 from torch import nn
 
-from ref_loader import REF_ROOT, install_reference_path, state_dict_np
+from ref_loader import install_reference_path, state_dict_np
 
 from stylegan_directions_face_reenactment_tpu.utils.common import jit_build
 from stylegan_directions_face_reenactment_tpu.weights import torch_convert as tc

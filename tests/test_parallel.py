@@ -13,7 +13,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from stylegan_directions_face_reenactment_tpu.parallel import (
     DATA_AXIS, batch_sharding, data_parallel_jit, make_mesh, pad_to_multiple,
