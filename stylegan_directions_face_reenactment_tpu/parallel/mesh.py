@@ -29,8 +29,16 @@ def make_mesh(n_devices: Optional[int] = None,
               axis_name: str = DATA_AXIS) -> Mesh:
     """1-D data-parallel mesh over the available devices."""
     if devices is None:
-        devices = jax.devices()
+        # honor an explicit jax_default_device routing (e.g. tests pin the
+        # virtual CPU devices while a TPU plugin is also registered)
+        dflt = jax.config.jax_default_device
+        devices = (jax.devices(dflt.platform) if dflt is not None
+                   else jax.devices())
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are available")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

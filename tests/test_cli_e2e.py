@@ -177,3 +177,30 @@ def test_run_trainer_cli_smoke(tmp_path):
     import json
     rec = json.loads(open(log).readline())
     assert np.isfinite(rec["loss"])
+
+
+def test_run_trainer_cli_n_devices(tmp_path):
+    """run_trainer --n_devices 2: the CLI builds the mesh and trains
+    data-parallel (conftest provides 8 virtual CPU devices)."""
+    if not MP4S:
+        pytest.skip("no bundled mp4")
+    from stylegan_directions_face_reenactment_tpu.cli.invert_images import (
+        main as invert_main)
+    from stylegan_directions_face_reenactment_tpu.cli.run_trainer import (
+        main as trainer_main)
+    data = tmp_path / "vox"
+    _make_tree_from_video(str(data), n_frames=4)
+    invert_main(["--dataset_path", str(data), "--random_init",
+                 "--image_resolution", RES, "--batch_size", "2"])
+    exp = tmp_path / "exp"
+    trainer_main(["--training_method", "paired", "--random_init",
+                  "--image_resolution", RES, "--batch_size", "2",
+                  "--n_steps", "1", "--no_evaluation",
+                  "--deca_alignment", "resize", "--n_devices", "2",
+                  "--train_dataset_path", str(data),
+                  "--test_dataset_path", str(data),
+                  "--experiment_path", str(exp)])
+    import json
+    log = os.path.join(f"{exp}_voxceleb_paired", "logs", "train_log.jsonl")
+    rec = json.loads(open(log).readline())
+    assert np.isfinite(rec["loss"])
