@@ -3,12 +3,22 @@
 The reference StyleGAN2 `model.py` JIT-compiles CUDA extensions at import,
 which is impossible here; we inject a minimal torch EqualLinear stub under
 its module name so `psp_encoders.py` (pure torch otherwise) can load.
-Nothing from the reference is copied — modules are executed in place.
+
+For *full-generator* parity we go further: `install_op_stub()` registers a
+pure-CPU `libs.gan.StyleGAN2.op` module whose `upfirdn2d` routes to the
+reference's own CPU oracle `upfirdn2d_native` (extracted via AST from
+`op/upfirdn2d.py:168-209` so its CUDA-extension import never runs) and whose
+`FusedLeakyReLU`/`fused_leaky_relu` implement the documented kernel
+semantics (`op/fused_act.py:73-86`: ``leaky_relu(x + b[c], 0.2) * sqrt(2)``).
+With that stub in place the REAL reference `model.py` imports and runs on
+CPU. Nothing from the reference is copied — modules are executed in place.
 """
 
+import ast
 import math
 import sys
 import types
+from collections import abc
 
 import torch
 from torch import nn
@@ -44,6 +54,86 @@ def install_reference_path():
         stub = types.ModuleType(name)
         stub.EqualLinear = _EqualLinearStub
         sys.modules[name] = stub
+
+
+def _extract_upfirdn2d_native():
+    """Execute ONLY the `upfirdn2d_native` def from the reference's
+    `op/upfirdn2d.py` (its module-level CUDA-extension load cannot run here).
+    This is the reference's own CPU oracle (`upfirdn2d.py:168-209`)."""
+    path = f"{REF_ROOT}/libs/gan/StyleGAN2/op/upfirdn2d.py"
+    with open(path) as f:
+        tree = ast.parse(f.read(), filename=path)
+    fn = next(n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name == "upfirdn2d_native")
+    mod = ast.Module(body=[fn], type_ignores=[])
+    ns = {"torch": torch, "F": F, "abc": abc}
+    exec(compile(mod, path, "exec"), ns)
+    return ns["upfirdn2d_native"]
+
+
+def _fused_leaky_relu_cpu(input, bias, negative_slope=0.2, scale=2 ** 0.5):
+    """CPU semantics of the fused CUDA kernel (`op/fused_act.py:73-86`,
+    bias broadcast along channel dim 1 per `fused_bias_act_kernel.cu:28-30`)."""
+    shape = [1, bias.shape[0]] + [1] * (input.ndim - 2)
+    return F.leaky_relu(input + bias.view(*shape), negative_slope) * scale
+
+
+class _FusedLeakyReLUCPU(nn.Module):
+    def __init__(self, channel, negative_slope=0.2, scale=2 ** 0.5):
+        super().__init__()
+        self.bias = nn.Parameter(torch.zeros(channel))
+        self.negative_slope = negative_slope
+        self.scale = scale
+
+    def forward(self, input):
+        return _fused_leaky_relu_cpu(input, self.bias, self.negative_slope,
+                                     self.scale)
+
+
+def install_op_stub():
+    """Register a pure-CPU `libs.gan.StyleGAN2.op` so the real reference
+    `model.py` (which does `from .op import ...`, `model.py:8`) can import."""
+    install_reference_path()
+    name = "libs.gan.StyleGAN2.op"
+    if name in sys.modules:
+        return sys.modules[name]
+    native = _extract_upfirdn2d_native()
+
+    def upfirdn2d(input, kernel, up=1, down=1, pad=(0, 0)):
+        # argument normalization mirrors the reference wrapper
+        # (`op/upfirdn2d.py:149-165`)
+        if not isinstance(up, abc.Iterable):
+            up = (up, up)
+        if not isinstance(down, abc.Iterable):
+            down = (down, down)
+        if len(pad) == 2:
+            pad = (pad[0], pad[1], pad[0], pad[1])
+        return native(input, kernel, up[0], up[1], down[0], down[1],
+                      pad[0], pad[1], pad[2], pad[3])
+
+    stub = types.ModuleType(name)
+    stub.upfirdn2d = upfirdn2d
+    stub.fused_leaky_relu = _fused_leaky_relu_cpu
+    stub.FusedLeakyReLU = _FusedLeakyReLUCPU
+    sys.modules[name] = stub
+    return stub
+
+
+def load_generator_module():
+    """Import the REAL reference `libs.gan.StyleGAN2.model` on CPU.
+
+    The e4e path installs an `_EqualLinearStub` under this module name
+    (`install_reference_path`); replace it with the genuine module, which is
+    a strict superset (its `EqualLinear` matches the stub semantics)."""
+    import importlib
+    install_op_stub()
+    name = "libs.gan.StyleGAN2.model"
+    mod = sys.modules.get(name)
+    if mod is not None and getattr(mod, "Generator", None) is not None:
+        return mod
+    sys.modules.pop(name, None)
+    mod = importlib.import_module(name)
+    return mod
 
 
 def load_e4e_class():
