@@ -1,16 +1,26 @@
 """Benchmark: reenacted 256x256 frames/sec/chip on the flagship pipeline.
 
-Three numbers, one JSON line:
+One JSON line, four numbers:
 
   * value / "reenact_fps_256" — the device-side reenactment path exactly as
-    the reference computes it per frame: FAN-warp DECA alignment
-    (`decalib/datasets/datasets.py:57-86`) → DECA shape regression → Δp →
-    direction-matrix shift → StyleGAN2 synthesis, batched over frames as
-    ONE jitted program (the reference loops per frame,
-    `run_inference.py:170-195`).
+    the reference computes it per frame: SFD-crop→FAN DECA alignment
+    (`decalib/datasets/detectors.py:23-42` + `datasets.py:57-86`) → DECA
+    shape regression → Δp → direction-matrix shift → StyleGAN2 synthesis,
+    batched over frames as ONE jitted program (the reference loops per
+    frame, `run_inference.py:170-195`).
   * "full_path_fps" — apples-to-apples with the reference's whole loop:
-    adds SFD face detection + FAN landmarks + host-side FFHQ crop
-    (`utils_inference.py:61-82`) in front of the reenactment program.
+    adds SFD face detection + FAN landmarks + FFHQ crop
+    (`utils_inference.py:61-82`) in front of the reenactment program. The
+    crop runs ON DEVICE (fused PIL-compatible bicubic, ≤1 LSB vs the host
+    path, `models/face/cropping.py::ffhq_crop_device`) so raw frames
+    upload once and nothing round-trips to the host; only out-of-frame
+    boxes would take the host pad+fade fallback (none in this stream —
+    real faces are overwhelmingly in-frame).
+  * "full_path_host_crop_fps" — the same loop with the host-side native
+    crop (the `--no-device_crop` CLI path), host work pipelined against
+    device compute the way the CLI overlaps them.
+  * "fan_frame_fps" — the `fan_frame` alignment (FAN directly on the 256
+    frame, no detector pass inside the DECA alignment).
   * "resize_fps" — the fast path (bilinear resize instead of the FAN-warp
     DECA alignment; `--deca_alignment resize`).
 
@@ -103,13 +113,20 @@ def main():
 
     fn_fan = make_reenact_fn(g, a, deca, spec, truncation=0.7,
                              truncation_latent=trunc,
-                             compute_dtype=compute_dtype, fan_params=fan)
+                             compute_dtype=compute_dtype, fan_params=fan,
+                             s3fd_params=sfd)
+    fn_fan_frame = make_reenact_fn(g, a, deca, spec, truncation=0.7,
+                                   truncation_latent=trunc,
+                                   compute_dtype=compute_dtype,
+                                   fan_params=fan)
     fn_resize = make_reenact_fn(g, a, deca, spec, truncation=0.7,
                                 truncation_latent=trunc,
                                 compute_dtype=compute_dtype)
 
     dt_fan = _time_loop(lambda: fn_fan(source_code, params_source,
                                        angles_source, targets)[0])
+    dt_fan_frame = _time_loop(lambda: fn_fan_frame(
+        source_code, params_source, angles_source, targets)[0])
     dt_resize = _time_loop(lambda: fn_resize(source_code, params_source,
                                              angles_source, targets)[0])
 
@@ -132,10 +149,29 @@ def main():
         merge_statics, strip_statics)
     det_w, det_statics = strip_statics((sfd, fan))
 
+    from stylegan_directions_face_reenactment_tpu.models.face.cropping import (
+        crop_using_landmarks_batch, ffhq_crop_device)
+
+    fake_lms_dev = jnp.asarray(fake_lms)
+
+    @jax.jit
+    def _prep_dev(det_w, frames, lms):
+        """Device preprocess: SFD+FAN (bf16 trunks, f32 box/peak decode)
+        + fused on-device FFHQ crop. Production uses the detected
+        landmarks for the crop; random-init detectors emit garbage, so the
+        crop runs on synthetic in-frame landmarks — identical compute."""
+        sfd_p, fan_p = merge_statics(det_w, det_statics)
+        imgs = frames.astype(jnp.float32)
+        pts, valid, _ = estimate_landmarks(sfd_p, fan_p, imgs,
+                                           compute_dtype=compute_dtype)
+        crops, in_frame = ffhq_crop_device(imgs, lms)
+        return crops / 127.5 - 1.0, valid, in_frame
+
     @jax.jit
     def _el(det_w, imgs_u8):
         sfd_p, fan_p = merge_statics(det_w, det_statics)
-        return estimate_landmarks(sfd_p, fan_p, imgs_u8.astype(jnp.float32))
+        return estimate_landmarks(sfd_p, fan_p, imgs_u8.astype(jnp.float32),
+                                  compute_dtype=compute_dtype)
 
     @jax.jit
     def _to_gan(u8):
@@ -143,18 +179,47 @@ def main():
         # the [-1,1] conversion runs on device
         return u8.astype(jnp.float32) / 127.5 - 1.0
 
-    from stylegan_directions_face_reenactment_tpu.models.face.cropping import (
-        crop_using_landmarks_batch)
-
     def full_path():
+        crops_gan, valid, in_frame = _prep_dev(det_w, frames_dev,
+                                               fake_lms_dev)
+        np.asarray(in_frame)   # the CLI's host-fallback check (16 bools)
+        return fn_fan(source_code, params_source, angles_source,
+                      crops_gan)[0]
+
+    dt_full = _time_loop(full_path, iters=12)
+
+    def host_stage():
+        """The --no-device_crop CLI `prep`: device detect+landmarks, host
+        FFHQ crop (native threaded), device upload of the u8 crops."""
         pts, valid, _ = _el(det_w, frames_dev)
-        jax.block_until_ready(pts)
+        np.asarray(pts)   # landmark fetch (tiny)
         crops, _ok = crop_using_landmarks_batch(frames_u8, fake_lms,
                                                 image_size=256)
-        return fn_fan(source_code, params_source, angles_source,
-                      _to_gan(jnp.asarray(crops)))[0]
+        return jax.device_put(crops)
 
-    dt_full = _time_loop(full_path, iters=10)
+    def full_path_host_stream(n_iters=12):
+        """Pipelined like the CLI: host_stage(i+1) overlaps the device
+        reenactment of chunk i (`cli/run_inference.py` ThreadPoolExecutor).
+        Returns seconds per chunk at steady state."""
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(1)
+        # warm-up / compile outside the timed window
+        out = fn_fan(source_code, params_source, angles_source,
+                     _to_gan(host_stage()))[0]
+        jax.block_until_ready(out)
+        fut = pool.submit(host_stage)
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            crops_dev = fut.result()
+            if i + 1 < n_iters:
+                fut = pool.submit(host_stage)
+            out = fn_fan(source_code, params_source, angles_source,
+                         _to_gan(crops_dev))[0]
+        jax.block_until_ready(out)
+        pool.shutdown(wait=False)
+        return (time.perf_counter() - t0) / n_iters
+
+    dt_full_host = full_path_host_stream()
 
     fps = batch / dt_fan
     print(json.dumps({
@@ -162,8 +227,10 @@ def main():
         "value": round(float(fps), 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(float(fps) / 500.0, 3),
+        "fan_frame_fps": round(batch / dt_fan_frame, 1),
         "resize_fps": round(batch / dt_resize, 1),
         "full_path_fps": round(batch / dt_full, 1),
+        "full_path_host_crop_fps": round(batch / dt_full_host, 1),
     }))
 
 

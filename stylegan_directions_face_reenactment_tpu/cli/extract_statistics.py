@@ -22,8 +22,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--truncation", type=float, default=0.7)
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--deca_alignment", default="fan",
-                   choices=["fan", "resize"],
-                   help="DECA preprocessing: 'fan' = reference FAN-warp, "
+                   choices=["fan", "fan_frame", "resize"],
+                   help="DECA preprocessing: 'fan' = reference SFD-crop→FAN "
+                        "warp, 'fan_frame' = FAN on the full frame, "
                         "'resize' = plain bilinear")
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -45,21 +46,23 @@ def main(argv=None):
     g = load_generator(args.dataset_type, random_init=args.random_init)
     deca = load_deca(random_init=args.random_init)
     trunc = compute_trunc(g)
-    fan_deca = None
-    if args.deca_alignment == "fan":
-        _, fan_deca = load_face_models(random_init=args.random_init)
+    fan_deca = sfd_deca = None
+    if args.deca_alignment in ("fan", "fan_frame"):
+        sfd_deca, fan_deca = load_face_models(random_init=args.random_init)
+        if args.deca_alignment == "fan_frame":
+            sfd_deca = None
 
     # weights as jit arguments, not closure constants (remote-compile limit)
     from ..train.steps import merge_statics, strip_statics
-    weights, statics = strip_statics((g, deca, fan_deca, trunc))
+    weights, statics = strip_statics((g, deca, fan_deca, sfd_deca, trunc))
 
     @jax.jit
     def _batch_stats(weights, z):
-        g_p, deca_p, fan_p, trunc_p = merge_statics(weights, statics)
+        g_p, deca_p, fan_p, sfd_p, trunc_p = merge_statics(weights, statics)
         imgs = generate_image(g_p, z, truncation=args.truncation,
                               truncation_latent=trunc_p)
         params, angles = calculate_shapemodel(deca_p, imgs,
-                                              align_fn=align_for(fan_p))
+                                              align_fn=align_for(fan_p, sfd_p))
         # rows: yaw, pitch, roll, jaw, exp_0..exp_49  → (B, 54)
         return jnp.concatenate([angles, params["pose"][:, 3:4],
                                 params["alpha_exp"]], axis=1)

@@ -1,0 +1,244 @@
+"""Quality-parity harness: the CSIM / pose / expression 1% gate.
+
+One command turns downloaded checkpoints into a pass/fail parity report
+(`BASELINE.md` north star: CSIM, pose error, expression error within 1% of
+the PyTorch reference). Runs self-reenactment (source = first target frame,
+the protocol of the reference's video eval,
+`libs/utilities/utils_train.py:810-883`) — or cross-reenactment with an
+explicit ``--source_path`` — over a target video/folder, computes the three
+eval metrics exactly as `utils_train.py:695-732`, and writes
+``PARITY_REPORT.json``.
+
+Gating: pass ``--reference_metrics ref.json`` (``{"csim": .., "pose": ..,
+"exp": ..}`` measured by running the PyTorch reference on the same inputs)
+and the report carries a verdict at ``--tolerance`` (default 1%): CSIM may
+not be more than tol worse (better always passes); pose/exp may not be more
+than tol·reference higher. With ``--random_init`` the harness still runs
+end-to-end (CI smoke) and labels the report unverified.
+
+Usage:
+  REENACT_PRETRAINED_ROOT=~/downloads python -m \
+      stylegan_directions_face_reenactment_tpu.cli.parity_report \
+      --target_path video.mp4 --output_path ./report
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="CSIM/pose/exp parity report")
+    p.add_argument("--target_path", required=True,
+                   help="target pose source: image, folder, or video")
+    p.add_argument("--source_path", default=None,
+                   help="source identity image; default = first target "
+                        "frame (self-reenactment)")
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--dataset_type", default="voxceleb")
+    p.add_argument("--image_resolution", type=int, default=None)
+    p.add_argument("--frame_batch", type=int, default=16)
+    p.add_argument("--video_stride", type=int, default=1)
+    p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--optimize_generator", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="PTI fine-tune on the source first (reference "
+                        "inference default, `run_inference.py:309`)")
+    p.add_argument("--random_init", action="store_true",
+                   help="random-init all models: smoke-runs the harness "
+                        "without checkpoints; report is labeled unverified")
+    p.add_argument("--deca_alignment", default="fan",
+                   choices=["fan", "fan_frame", "resize"])
+    p.add_argument("--skip_preprocess", action="store_true",
+                   help="inputs are already FFHQ-cropped 256 faces")
+    p.add_argument("--device_crop", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="on-device FFHQ crop (--no-device_crop = PIL-exact "
+                        "host path)")
+    p.add_argument("--reference_metrics", default=None,
+                   help="JSON file with the PyTorch reference's "
+                        "{csim, pose, exp} on the same inputs; enables the "
+                        "pass/fail gate")
+    p.add_argument("--tolerance", type=float, default=0.01,
+                   help="relative gate width (default 1%%)")
+    return p
+
+
+def _gate(ours: dict, ref: dict, tol: float) -> dict:
+    """Within-tolerance verdict; 'better than reference' always passes
+    (higher CSIM, lower pose/exp error)."""
+    eps = 1e-8
+    d_csim = (ref["csim"] - ours["csim"]) / max(abs(ref["csim"]), eps)
+    d_pose = (ours["pose_error_deg"] - ref["pose"]) / max(abs(ref["pose"]), eps)
+    d_exp = (ours["expression_error"] - ref["exp"]) / max(abs(ref["exp"]), eps)
+    checks = {
+        "csim": {"reference": ref["csim"], "ours": ours["csim"],
+                 "rel_shortfall": d_csim, "pass": bool(d_csim <= tol)},
+        "pose": {"reference": ref["pose"], "ours": ours["pose_error_deg"],
+                 "rel_excess": d_pose, "pass": bool(d_pose <= tol)},
+        "exp": {"reference": ref["exp"], "ours": ours["expression_error"],
+                "rel_excess": d_exp, "pass": bool(d_exp <= tol)},
+    }
+    return {"tolerance": tol, "checks": checks,
+            "pass": bool(all(c["pass"] for c in checks.values()))}
+
+
+def main(argv=None):
+    from ..utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.output_path, exist_ok=True)
+
+    import jax
+    import jax.numpy as jnp
+    from ..geometry import initialize_directions
+    from ..losses.id_loss import extract_id_feats
+    from ..models.deca import calculate_shapemodel
+    from ..pipeline import invert_image, make_reenact_fn, optimize_g, \
+        preprocess_images, source_shape
+    from ..pipeline.reenactment import align_for
+    from ..train.eval import expression_error, pose_error
+    from ..train.steps import merge_statics, strip_statics
+    from ..utils.image_utils import load_image
+    from .model_loading import (compute_trunc, load_deca,
+                                load_direction_matrix, load_e4e,
+                                load_face_models, load_generator,
+                                load_id_backbone, load_lpips)
+    from .run_inference import _load_target_frames
+
+    # --- models -----------------------------------------------------------
+    g = load_generator(args.dataset_type, random_init=args.random_init,
+                       resolution=args.image_resolution)
+    e4e = load_e4e(args.dataset_type, random_init=args.random_init,
+                   resolution=args.image_resolution)
+    a = load_direction_matrix(args.dataset_type, random_init=args.random_init)
+    deca = load_deca(random_init=args.random_init)
+    idb = load_id_backbone(random_init=args.random_init)
+    need_fan = args.deca_alignment in ("fan", "fan_frame")
+    sfd = fan = None
+    if not args.skip_preprocess or need_fan:
+        sfd, fan = load_face_models(random_init=args.random_init)
+    fan_deca = fan if need_fan else None
+    sfd_deca = sfd if args.deca_alignment == "fan" else None
+    spec = initialize_directions(args.dataset_type, 15, 6.0)
+    trunc = compute_trunc(g)
+    size = g["meta"]["size"]
+
+    def prep(frames):
+        if args.skip_preprocess:
+            from ..native.imgproc import resize_bilinear_u8
+            batch = resize_bilinear_u8(np.stack(frames).astype(np.uint8),
+                                       (size, size))
+            return batch.astype(np.float32) / 127.5 - 1.0, \
+                np.ones(len(frames), bool)
+        return preprocess_images(sfd, fan, frames, image_size=size,
+                                 device_crop=args.device_crop)
+
+    # --- frames -----------------------------------------------------------
+    frames = _load_target_frames(args.target_path, args.video_stride)
+    if args.max_frames:
+        frames = frames[:args.max_frames]
+    self_reenactment = args.source_path is None
+    src_raw = [frames[0]] if self_reenactment else [load_image(args.source_path)]
+
+    src_batch, ok = prep(src_raw)
+    if not ok[0]:
+        raise RuntimeError("no face detected in the source image")
+    source_img = jnp.asarray(src_batch[:1])
+    _, source_code = invert_image(source_img, e4e, g, truncation=0.7,
+                                  truncation_latent=trunc)
+    if args.optimize_generator:
+        lp = load_lpips(random_init=args.random_init)
+        g_src, _ = optimize_g(g, source_code, source_img, lp, trunc,
+                              opt_steps=200, lr=3e-3)
+    else:
+        g_src = g
+    params_source, angles_source = source_shape(deca, source_img,
+                                                fan_params=fan_deca,
+                                                s3fd_params=sfd_deca)
+
+    reenact = make_reenact_fn(g_src, a, deca, spec, truncation=0.7,
+                              truncation_latent=trunc, fan_params=fan_deca,
+                              s3fd_params=sfd_deca)
+
+    # --- per-frame metric program (`utils_train.py:695-732`) --------------
+    mweights, mstatics = strip_statics((deca, idb, fan_deca, sfd_deca))
+
+    @jax.jit
+    def _metrics(mweights, reenacted, targets, source):
+        deca_p, idb_p, fan_p, sfd_p = merge_statics(mweights, mstatics)
+        align = align_for(fan_p, sfd_p)
+        p_s, a_s = calculate_shapemodel(deca_p, reenacted, align_fn=align)
+        p_t, a_t = calculate_shapemodel(deca_p, targets, align_fn=align)
+        f_src = extract_id_feats(idb_p, source)
+        f_re = extract_id_feats(idb_p, reenacted)
+        csim_pf = jnp.sum(f_src * f_re, axis=-1)       # per-frame cosine
+        return (csim_pf, pose_error(a_s, a_t),
+                expression_error(spec, p_s, p_t))
+
+    bi = args.frame_batch
+    csims, poses, exps, used = [], [], [], 0
+    for s in range(0, len(frames), bi):
+        chunk = frames[s:s + bi]
+        tgt_batch, ok = prep(chunk)
+        pad = bi - len(chunk)
+        tgt = np.concatenate([tgt_batch] + [tgt_batch[-1:]] * pad) \
+            if pad else tgt_batch
+        c, p, e = _metrics(mweights, *reenact(
+            source_code, params_source, angles_source,
+            jnp.asarray(tgt))[:1], jnp.asarray(tgt), source_img)
+        keep = np.asarray(ok)    # drop frames with no detected face
+        csims.append(np.asarray(c)[:len(chunk)][keep])
+        poses.append(np.asarray(p)[:len(chunk)][keep])
+        exps.append(np.asarray(e)[:len(chunk)][keep])
+        used += int(keep.sum())
+        print(f"{min(s + bi, len(frames))}/{len(frames)} frames")
+
+    if used == 0:
+        raise RuntimeError("no target frame with a detected face")
+    csims = np.concatenate(csims)
+    poses = np.concatenate(poses)
+    exps = np.concatenate(exps)
+    metrics = {
+        "csim": float(csims.mean()),
+        "pose_error_deg": float(poses.mean()),
+        "expression_error": float(exps.mean()),
+    }
+
+    report = {
+        "metrics": metrics,
+        "per_frame_std": {"csim": float(csims.std()),
+                          "pose_error_deg": float(poses.std()),
+                          "expression_error": float(exps.std())},
+        "n_frames": used,
+        "self_reenactment": self_reenactment,
+        "optimize_generator": bool(args.optimize_generator),
+        "deca_alignment": args.deca_alignment,
+        "checkpoints": "random_init" if args.random_init else "real",
+        "verified": not args.random_init,
+        "gate": None,
+    }
+    if args.random_init:
+        report["note"] = ("models are randomly initialized: metrics are NOT "
+                          "meaningful; this run only validates the harness")
+    if args.reference_metrics:
+        with open(args.reference_metrics) as f:
+            ref = json.load(f)
+        report["gate"] = _gate(metrics, ref, args.tolerance)
+
+    out = os.path.join(args.output_path, "PARITY_REPORT.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report["metrics"]))
+    if report["gate"] is not None:
+        print("gate:", "PASS" if report["gate"]["pass"] else "FAIL")
+    print(f"saved {out}")
+    return report
+
+
+if __name__ == "__main__":
+    main()

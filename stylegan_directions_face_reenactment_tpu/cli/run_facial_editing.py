@@ -39,10 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="source image is already an FFHQ-cropped face: "
                         "bypass detection/landmark cropping")
     p.add_argument("--deca_alignment", default="fan",
-                   choices=["fan", "resize"],
-                   help="DECA preprocessing: 'fan' = reference FAN-warp "
-                        "(decalib/datasets/datasets.py:57-86), 'resize' = "
-                        "plain bilinear")
+                   choices=["fan", "fan_frame", "resize"],
+                   help="DECA preprocessing: 'fan' = reference SFD-crop→FAN "
+                        "warp (decalib/datasets/detectors.py:23-42, "
+                        "datasets.py:57-86), 'fan_frame' = FAN on the full "
+                        "frame, 'resize' = plain bilinear")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -73,9 +74,11 @@ def main(argv=None):
     spec = initialize_directions(args.dataset_type, 15, 6.0)
     trunc = compute_trunc(g)
     size = g["meta"]["size"]
-    fan_deca = None
-    if args.deca_alignment == "fan":
-        _, fan_deca = load_face_models(random_init=args.random_init)
+    fan_deca = sfd_deca = None
+    if args.deca_alignment in ("fan", "fan_frame"):
+        sfd_deca, fan_deca = load_face_models(random_init=args.random_init)
+        if args.deca_alignment == "fan_frame":
+            sfd_deca = None
 
     # --- source latent ------------------------------------------------
     if args.source_path is None:
@@ -119,7 +122,7 @@ def main(argv=None):
 
     from ..pipeline.reenactment import align_for
     params_source, angles_source = calculate_shapemodel(
-        deca, source_img, align_fn=align_for(fan_deca))
+        deca, source_img, align_fn=align_for(fan_deca, sfd_deca))
     params_np = {k: np.asarray(v) for k, v in params_source.items()}
     angles_np = np.asarray(angles_source)
 

@@ -46,11 +46,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--video_stride", type=int, default=1)
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--deca_alignment", default="fan",
-                   choices=["fan", "resize"],
-                   help="DECA preprocessing: 'fan' = FAN-bbox similarity "
-                        "warp to 224 like the reference "
-                        "(decalib/datasets/datasets.py:57-86), 'resize' = "
-                        "plain bilinear (faster)")
+                   choices=["fan", "fan_frame", "resize"],
+                   help="DECA preprocessing: 'fan' = the reference's "
+                        "SFD-detect → crop → FAN → bbox → similarity warp "
+                        "to 224 (decalib/datasets/detectors.py:23-42, "
+                        "datasets.py:57-86); 'fan_frame' = FAN directly on "
+                        "the 256 frame (no detector pass — faster, "
+                        "near-identical for centered FFHQ-crop faces); "
+                        "'resize' = plain bilinear (fastest)")
     p.add_argument("--n_devices", type=int, default=None,
                    help="shard target-frame batches over an N-device "
                         "jax.sharding.Mesh (frame data parallelism; "
@@ -59,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="inputs are already FFHQ-cropped 256 faces: bypass "
                         "detection/landmark cropping (also the smoke path "
                         "with --random_init detectors)")
+    p.add_argument("--device_crop", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="run the FFHQ crop on device (fused bicubic, ≤1 "
+                        "intensity unit vs the PIL host path; out-of-frame "
+                        "boxes still take the host pad+fade path). "
+                        "--no-device_crop forces the host-exact crop")
     return p
 
 
@@ -103,11 +112,12 @@ def main(argv=None):
                    resolution=args.image_resolution)
     a = load_direction_matrix(args.dataset_type, random_init=args.random_init)
     deca = load_deca(random_init=args.random_init)
-    need_fan = args.deca_alignment == "fan"
+    need_fan = args.deca_alignment in ("fan", "fan_frame")
     sfd = fan = None
     if not args.skip_preprocess or need_fan:
         sfd, fan = load_face_models(random_init=args.random_init)
     fan_deca = fan if need_fan else None
+    sfd_deca = sfd if args.deca_alignment == "fan" else None
     spec = initialize_directions(args.dataset_type, 15, 6.0)
     trunc = compute_trunc(g)
     size = g["meta"]["size"]
@@ -119,7 +129,8 @@ def main(argv=None):
                                        (size, size))
             return batch.astype(np.float32) / 127.5 - 1.0, \
                 np.ones(len(frames), bool)
-        return preprocess_images(sfd, fan, frames, image_size=size)
+        return preprocess_images(sfd, fan, frames, image_size=size,
+                                 device_crop=args.device_crop)
 
     # --- source -----------------------------------------------------------
     ext = args.source_path.rsplit(".", 1)[-1].lower()
@@ -143,7 +154,8 @@ def main(argv=None):
         g_src = g
 
     params_source, angles_source = source_shape(deca, source_img,
-                                                fan_params=fan_deca)
+                                                fan_params=fan_deca,
+                                                s3fd_params=sfd_deca)
 
     # --- targets, batched -------------------------------------------------
     frames = _load_target_frames(args.target_path, args.video_stride)
@@ -153,10 +165,10 @@ def main(argv=None):
         from ..parallel import make_mesh
         mesh = make_mesh(args.n_devices)
         if args.frame_batch % args.n_devices:
-            raise ValueError("--frame_batch must divide --n_devices")
+            raise ValueError("--n_devices must divide --frame_batch")
     reenact = make_reenact_fn(g_src, a, deca, spec, truncation=0.7,
                               truncation_latent=trunc, fan_params=fan_deca,
-                              mesh=mesh)
+                              s3fd_params=sfd_deca, mesh=mesh)
 
     grids = []
     bi = args.frame_batch

@@ -41,10 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--random_init", action="store_true",
                    help="random-init frozen models (smoke test; no ckpts)")
     p.add_argument("--deca_alignment", default="fan",
-                   choices=["fan", "resize"],
+                   choices=["fan", "fan_frame", "resize"],
                    help="DECA preprocessing on the training path: 'fan' = "
-                        "reference FAN-warp (datasets.py:57-86), 'resize' = "
-                        "plain bilinear (faster)")
+                        "reference SFD-crop→FAN warp (detectors.py:23-42, "
+                        "datasets.py:57-86), 'fan_frame' = FAN on the full "
+                        "frame (no detector pass), 'resize' = plain "
+                        "bilinear (fastest)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--train_compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
@@ -95,10 +97,12 @@ def main(argv=None):
     idb = load_id_backbone(random_init=args_ns.random_init)
     lp = load_lpips(random_init=args_ns.random_init)
     trunc = compute_trunc(g)
-    fan = None
-    if targs.deca_alignment == "fan":
-        _, fan = load_face_models(random_init=args_ns.random_init)
-    models = FrozenModels(g, deca, idb, lp, trunc, fan)
+    fan = sfd = None
+    if targs.deca_alignment in ("fan", "fan_frame"):
+        sfd, fan = load_face_models(random_init=args_ns.random_init)
+        if targs.deca_alignment == "fan_frame":
+            sfd = None
+    models = FrozenModels(g, deca, idb, lp, trunc, fan, sfd)
 
     mesh = None
     if args_ns.n_devices is not None and args_ns.n_devices > 1:

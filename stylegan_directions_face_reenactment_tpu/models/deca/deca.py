@@ -209,9 +209,18 @@ def calculate_shapemodel(params: Params, images: jnp.ndarray,
         images = (jnp.clip(images, -1.0, 1.0) + 1.0) / 2.0
     elif image_space == "255":
         images = images / 255.0
+    ok = None
     if align_fn is not None:
         images = align_fn(images)
+        if isinstance(images, tuple):
+            images, ok = images
     elif images.shape[1] != image_size or images.shape[2] != image_size:
         images = resize_bilinear(images, (image_size, image_size))
     p, shp, exp, angles, cam = extract_deca_params(params, images)
+    if ok is not None:
+        # reference behavior on failed detection: coefficients stay zero and
+        # the angles carry a -180° sentinel (`estimate_DECA.py:33-51`)
+        m = ok[:, None]
+        p, shp, exp, cam = (jnp.where(m, t, 0.0) for t in (p, shp, exp, cam))
+        angles = jnp.where(m, angles, -180.0)
     return {"pose": p, "alpha_shp": shp, "alpha_exp": exp, "cam": cam}, angles

@@ -7,9 +7,16 @@ center with y lifted by size/6, square of side 2·size, reflect-padded with
 a blur + median fade where the box leaves the frame, bicubic-resized
 to 256.
 
-This runs on the host data path (like the reference), feeding the batched
-device pipeline; a jittable central-crop variant for in-frame boxes lives
-in `landmarks.crop_faces`.
+Three implementations of the in-frame fast path share the box math:
+  * `crop_using_landmarks` — PIL reference (exact `ffhq_cropping.py`);
+  * the native C++ threaded batch crop (`native/reenact_io.cpp`,
+    continuous-weight PIL-compatible bicubic);
+  * `ffhq_crop_device` — jittable: the crop+resize as one cubic
+    `scale_and_translate` (two MXU matmuls) so frames never round-trip to
+    the host on the hot path (≲1 LSB mean deviation vs PIL, same class as
+    the native path).
+Out-of-frame boxes always take the host reflect-pad + blur + median-fade
+slow path.
 """
 
 from __future__ import annotations
@@ -86,6 +93,99 @@ def crop_using_landmarks(image: np.ndarray,
     img = Image.fromarray(np.clip(cropped, 0, 255).astype(np.uint8))
     img = img.resize((image_size, image_size), Image.BICUBIC)
     return np.array(img)
+
+
+def ffhq_crop_box(landmarks):
+    """Shared box math of `crop_using_landmarks` (`ffhq_cropping.py:49-57`)
+    as a jittable function. landmarks (B, 68, 2) float → (center (B,2) int32
+    [x, y] with the y-size/6 lift applied, size (B,) int32, valid (B,))."""
+    import jax.numpy as jnp
+    lm = landmarks.astype(jnp.float32)
+    mins, maxs = lm.min(axis=1), lm.max(axis=1)
+    # host: ((min+max)/2).round().astype(int) — np.round is half-to-even,
+    # as is jnp.round
+    center = jnp.round((mins + maxs) / 2.0).astype(jnp.int32)
+    ext = maxs - mins
+    size = jnp.maximum(ext[:, 0], ext[:, 1]).astype(jnp.int32)  # int() trunc
+    valid = size > 0
+    center = center.at[:, 1].add(-(size // 6))
+    return center, size, valid
+
+
+def _cubic_kernel(x):
+    """Keys cubic, a = -0.5 (PIL BICUBIC / `reenact_io.cpp::rio_cubic`)."""
+    import jax.numpy as jnp
+    x = jnp.abs(x)
+    near = ((-0.5 + 2.0) * x - (-0.5 + 3.0)) * x * x + 1.0
+    far = (((x - 5.0) * x + 8.0) * x - 4.0) * -0.5
+    return jnp.where(x < 1.0, near, jnp.where(x < 2.0, far, 0.0))
+
+
+def _pil_axis_weights(in_len: int, start, crop_len, out_len: int):
+    """Dense per-image resampling weights replicating the native/PIL axis
+    table (`reenact_io.cpp::rio_axis_table`): antialiased cubic, window
+    [lo, hi) from the ±support rule, normalized over the (edge-clamped)
+    window. start/crop_len: (B,) floats — crop origin and side in absolute
+    image coords. Returns (B, out_len, in_len)."""
+    import jax.numpy as jnp
+    scale = crop_len / out_len                            # (B,)
+    filterscale = jnp.maximum(scale, 1.0)
+    support = 2.0 * filterscale
+    i = jnp.arange(out_len, dtype=jnp.float32)
+    center = (i[None] + 0.5) * scale[:, None]             # (B, O) crop coords
+    lo = jnp.maximum(jnp.floor(center - support[:, None] + 0.5), 0.0)
+    hi = jnp.minimum(jnp.floor(center + support[:, None] + 0.5),
+                     crop_len[:, None])
+    j = jnp.arange(in_len, dtype=jnp.float32)             # absolute coords
+    jc = j[None, None, :] - start[:, None, None]          # (B, 1→O, In)
+    w = _cubic_kernel((jc - center[..., None] + 0.5)
+                      / filterscale[:, None, None])
+    w = jnp.where((jc >= lo[..., None]) & (jc < hi[..., None]), w, 0.0)
+    norm = jnp.sum(w, axis=-1, keepdims=True)
+    return w / jnp.where(norm == 0.0, 1.0, norm)
+
+
+def ffhq_crop_device(images, landmarks, image_size: int = 256):
+    """Jittable FFHQ crop for IN-FRAME boxes: landmark bbox → square box of
+    side 2·size → PIL-compatible antialiased bicubic resample to
+    ``image_size``. The crop+resize is fused: per-image dense axis-weight
+    matrices contracted as two MXU einsums, with the uint8 quantization
+    between the passes that the PIL/native pipelines apply
+    (`reenact_io.cpp::rio_ffhq_crop_one` q8) — so the result matches the
+    host paths to ≤1 intensity unit without any host round-trip.
+
+    images: (B, H, W, 3) uint8/float on device; landmarks: (B, 68, 2).
+    Returns (crops (B, s, s, 3) float32 in [0, 255] (integer-valued),
+    in_frame (B,) bool). Boxes that leave the frame (or degenerate
+    landmarks) get ``in_frame=False`` — route those through the host
+    pad+fade path.
+    """
+    import jax.numpy as jnp
+    _, h, w, _ = images.shape
+    center, size, valid = ffhq_crop_box(landmarks)
+    cx, cy = center[:, 0], center[:, 1]
+    x1, y1 = cx - size, cy - size
+    in_frame = ((x1 >= 0) & (y1 >= 0) & (cx + size <= w) & (cy + size <= h)
+                & valid)
+    side = (2 * jnp.maximum(size, 1)).astype(jnp.float32)
+    wx = _pil_axis_weights(w, x1.astype(jnp.float32), side, image_size)
+    wy = _pil_axis_weights(h, y1.astype(jnp.float32), side, image_size)
+
+    def q8(v):  # clip + round-half-up, the inter-pass u8 quantization
+        return jnp.floor(jnp.clip(v, 0.0, 255.0) + 0.5)
+
+    img = images.astype(jnp.float32)
+    # horizontal pass (contract absolute x), then vertical (absolute y);
+    # HIGHEST precision: TPU default f32 matmuls use single bf16 passes,
+    # which would cost ~1-2 intensity units here
+    import jax
+    tmp = q8(jnp.einsum("box,byxc->byoc", wx, img,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32))
+    out = q8(jnp.einsum("boy,byic->boic", wy, tmp,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32))
+    return out, in_frame
 
 
 def crop_using_landmarks_batch(images, landmarks_list, image_size: int = 256):

@@ -75,7 +75,8 @@ def crop_faces(images: jnp.ndarray, center: jnp.ndarray, scale: jnp.ndarray,
 
 def estimate_landmarks(s3fd_params: Params, fan_params: Params,
                        images_rgb255: jnp.ndarray,
-                       conf_thresh: float = 0.99
+                       conf_thresh: float = 0.99,
+                       compute_dtype=None
                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full batched pipeline: (B, H, W, 3) RGB 0-255 → landmarks (B, 68, 2)
     in image coords, validity mask (B,), heatmaps (B, 64, 64, 68).
@@ -84,16 +85,27 @@ def estimate_landmarks(s3fd_params: Params, fan_params: Params,
     FAN consumes the [0,1] crop (`landmarks_estimation.py:152-153`).
     Detection is stop_gradient'ed: boxes are constants to autodiff, exactly
     like the reference (detection runs under no_grad).
+
+    ``compute_dtype``: run the (HBM-bound) S3FD+FAN forwards in this dtype —
+    bf16 halves their traffic; the outputs are stop-gradient crop metadata,
+    so sub-pixel rounding only jitters downstream crop boxes by <1 px.
+    Default None keeps f32 (exact reference parity).
     """
     bgr = images_rgb255[..., ::-1]
-    boxes, valid = detect_faces(s3fd_params, jax.lax.stop_gradient(bgr))
+    bgr = jax.lax.stop_gradient(bgr)
+    if compute_dtype is not None:
+        bgr = bgr.astype(compute_dtype)
+    boxes, valid = detect_faces(s3fd_params, bgr)
+    boxes = boxes.astype(jnp.float32)
     best = boxes[:, 0]                               # best-scored box (B, 5)
     ok = valid[:, 0] & (best[:, 4] > conf_thresh)
     best = jax.lax.stop_gradient(best)
 
     center, scale = box_to_center_scale(best)
     crops = crop_faces(images_rgb255, center, scale, 256) / 255.0
-    heatmaps = fan_forward(fan_params, crops)[-1]    # (B, 64, 64, 68)
+    if compute_dtype is not None:
+        crops = crops.astype(compute_dtype)
+    heatmaps = fan_forward(fan_params, crops)[-1].astype(jnp.float32)
     pts_hm = heatmaps_to_landmarks(heatmaps) + 1.0   # to 1-based like ref
     pts_img = landmarks_to_image_coords(pts_hm, center, scale)
     return pts_img, ok, heatmaps

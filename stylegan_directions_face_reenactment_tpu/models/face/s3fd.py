@@ -164,13 +164,18 @@ def detect_candidates(params: Params, images_bgr: jnp.ndarray,
     subtracted) → (B, A, 5) [x1, y1, x2, y2, score] for ALL anchors, with
     scores below ``score_thresh`` zeroed (the reference drops them;
     fixed-shape masking is the TPU equivalent)."""
-    x = images_bgr - jnp.asarray(MEAN_BGR_SUB)
+    # subtract in the input dtype (a f32 constant would silently promote a
+    # bf16 batch back to f32 and defeat the mixed-precision trunk)
+    x = images_bgr - jnp.asarray(MEAN_BGR_SUB, images_bgr.dtype)
     olist = s3fd_forward(params, x)
     b = x.shape[0]
     outs = []
     for i in range(6):
-        cls_map = jax.nn.softmax(olist[i * 2], axis=-1)[..., 1]   # (B, h, w)
-        loc_map = olist[i * 2 + 1]                                # (B, h, w, 4)
+        # head outputs decode in f32 regardless of trunk dtype: box coords
+        # are sub-pixel crop metadata
+        cls_map = jax.nn.softmax(olist[i * 2].astype(jnp.float32),
+                                 axis=-1)[..., 1]                 # (B, h, w)
+        loc_map = olist[i * 2 + 1].astype(jnp.float32)            # (B, h, w, 4)
         stride = 2 ** (i + 2)
         h, w = cls_map.shape[1], cls_map.shape[2]
         priors = jnp.asarray(dense_anchors(h, w, stride))         # (h*w, 4)

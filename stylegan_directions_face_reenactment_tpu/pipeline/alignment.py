@@ -50,34 +50,61 @@ def warp_to_224(images01: jnp.ndarray, center: jnp.ndarray,
     return scale_translate_warp(images01, s, tx, ty, (DECA_CROP, DECA_CROP))
 
 
-def make_fan_align(fan_params: Params, compute_dtype=None):
+def make_fan_align(fan_params: Params, s3fd_params: Params = None,
+                   compute_dtype=None, return_ok: bool = False):
     """Batched DECA aligner: [0,1] images (any square size) → (B, 224, 224, 3).
 
-    Uses FAN landmarks on the (resized-to-256) image for the bbox,
-    matching the reference's FAN detector path (`decalib/datasets/
-    detectors.py:23-42` derives the bbox from FAN landmarks).
+    With ``s3fd_params`` (the default wiring on every CLI path) this is the
+    faithful reference pipeline: the reference's `detectors.FAN` wraps the
+    `face_alignment` package — SFD detect → 200·scale crop → FAN → landmarks
+    in original coords (`decalib/datasets/detectors.py:23-42`; the crop math
+    is the reference's own `landmarks_estimation.py:143-153`, identical to
+    face_alignment's) — then kpt68 bbox → similarity warp to 224
+    (`decalib/datasets/datasets.py:44-80`). On images where no face passes
+    the confidence gate, the whole frame maps to 224 and the caller masks
+    via ``return_ok`` (the reference skips DECA and writes a −180 sentinel,
+    `estimate_DECA.py:48-51` — `calculate_shapemodel` replicates that when
+    the aligner returns the mask).
 
-    ``compute_dtype``: run the (HBM-bound) FAN forward in this dtype —
-    bf16 halves its traffic; the landmark peaks are stop-gradient crop
-    metadata, so sub-pixel rounding only jitters the crop box by <1 px.
+    Without ``s3fd_params`` ('fan_frame' mode): FAN runs directly on the
+    256 frame with a fixed center/scale — cheaper (no detector pass), and
+    near-identical for FFHQ-cropped faces, which are centered by
+    construction; a documented deviation for off-center faces.
+
+    ``compute_dtype``: run the (HBM-bound) detector/FAN forwards in this
+    dtype — bf16 halves their traffic; the landmark peaks are stop-gradient
+    crop metadata, so sub-pixel rounding only jitters the crop box by <1 px.
     Default None keeps f32 (exact reference parity)."""
 
-    def align(images01: jnp.ndarray) -> jnp.ndarray:
-        h = images01.shape[1]
+    def align(images01: jnp.ndarray):
+        b, h = images01.shape[0], images01.shape[1]
         im256 = images01 if h == 256 else resize_bilinear(images01, (256, 256))
-        fan_in = jax.lax.stop_gradient(im256)
-        if compute_dtype is not None:
-            fan_in = fan_in.astype(compute_dtype)
-        heat = fan_forward(fan_params, fan_in)[-1].astype(jnp.float32)
-        pts = heatmaps_to_landmarks(heat) + 1.0
-        # FAN ran on the full 256 frame: center (128,128), scale 256/200
-        center0 = jnp.tile(jnp.asarray([[128.0, 128.0]]), (images01.shape[0], 1))
-        scale0 = jnp.full((images01.shape[0],), 256.0 / 200.0)
-        lms = landmarks_to_image_coords(pts, center0, scale0)
+        if s3fd_params is not None:
+            from ..models.face.landmarks import estimate_landmarks
+            lms, ok, _ = estimate_landmarks(
+                s3fd_params, fan_params,
+                jax.lax.stop_gradient(im256) * 255.0,
+                compute_dtype=compute_dtype)
+        else:
+            fan_in = jax.lax.stop_gradient(im256)
+            if compute_dtype is not None:
+                fan_in = fan_in.astype(compute_dtype)
+            heat = fan_forward(fan_params, fan_in)[-1].astype(jnp.float32)
+            pts = heatmaps_to_landmarks(heat) + 1.0
+            # FAN ran on the full 256 frame: center (128,128), scale 256/200
+            lms = landmarks_to_image_coords(
+                pts, jnp.tile(jnp.asarray([[128.0, 128.0]]), (b, 1)),
+                jnp.full((b,), 256.0 / 200.0))
+            ok = jnp.ones((b,), bool)
         if h != 256:
             lms = lms * (h / 256.0)
         lms = jax.lax.stop_gradient(lms)
         center, old_size = kpt68_center_size(lms)
-        return warp_to_224(images01, center, old_size)
+        # detection-failure fallback: warp the whole frame (size→h) so the
+        # batch shape stays static; downstream masks by ``ok``
+        center = jnp.where(ok[:, None], center, h / 2.0)
+        old_size = jnp.where(ok, old_size, h / DECA_SCALE)
+        aligned = warp_to_224(images01, center, old_size)
+        return (aligned, ok) if return_ok else aligned
 
     return align

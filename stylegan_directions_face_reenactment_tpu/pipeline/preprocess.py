@@ -39,15 +39,39 @@ def to_gan_range(image_uint8: np.ndarray) -> np.ndarray:
     return image_uint8.astype(np.float32) / 127.5 - 1.0
 
 
+def preprocess_batch_device(s3fd_params: Params, fan_params: Params,
+                            frames_u8: jnp.ndarray, image_size: int = 256,
+                            compute_dtype=None):
+    """The whole preprocess as ONE jittable device program: SFD detect →
+    FAN landmarks → FFHQ crop (fused cubic scale_and_translate) → [-1, 1].
+
+    frames_u8: (B, H, W, 3) uint8/float RGB on device (uniform shape).
+    Returns (crops_gan (B, s, s, 3) float32 in [-1,1], ok (B,) detection
+    mask, in_frame (B,) — False where the crop box leaves the frame and the
+    host pad+blur+fade path must take over — and the landmarks (B, 68, 2)
+    for that fallback).
+    """
+    from ..models.face.cropping import ffhq_crop_device
+    imgs = frames_u8.astype(jnp.float32)
+    pts, ok, _ = estimate_landmarks(s3fd_params, fan_params, imgs,
+                                    compute_dtype=compute_dtype)
+    crops, in_frame = ffhq_crop_device(imgs, pts, image_size=image_size)
+    return crops / 127.5 - 1.0, ok, in_frame, pts
+
+
 def preprocess_images(s3fd_params: Params, fan_params: Params,
                       images: List[np.ndarray],
-                      image_size: int = 256
+                      image_size: int = 256,
+                      device_crop: bool = False
                       ) -> Tuple[np.ndarray, np.ndarray]:
     """Batch preprocess: list of HWC uint8 RGB frames → (B, 256, 256, 3)
     float32 in [-1, 1] + validity mask (B,).
 
     Device part (detection + landmarks) is batched per unique input
-    resolution; the landmark crop runs host-side.
+    resolution. The FFHQ crop runs host-side by default (native threaded
+    batch crop, PIL-exact box semantics); ``device_crop=True`` keeps
+    in-frame crops on device (fused cubic resample, ≲1 LSB mean deviation)
+    and only routes out-of-frame boxes through the host pad+fade path.
     """
     resized = [resize_max_side(im) for im in images]
 
@@ -56,19 +80,34 @@ def preprocess_images(s3fd_params: Params, fan_params: Params,
     for i, im in enumerate(resized):
         buckets.setdefault(im.shape[:2], []).append(i)
 
+    out = np.zeros((len(resized), image_size, image_size, 3), np.float32)
     lms = [None] * len(resized)
     ok = np.zeros(len(resized), bool)
+    host_crop = [True] * len(resized)
     for shape, idxs in buckets.items():
         batch = jnp.asarray(np.stack([resized[i] for i in idxs]).astype(np.float32))
-        pts, valid, _ = estimate_landmarks(s3fd_params, fan_params, batch)
-        pts = np.asarray(pts)
-        valid = np.asarray(valid)
-        for j, i in enumerate(idxs):
-            lms[i] = pts[j]
-            ok[i] = bool(valid[j])
+        if device_crop:
+            crops_gan, valid, in_frame, pts = preprocess_batch_device(
+                s3fd_params, fan_params, batch, image_size=image_size)
+            in_frame = np.asarray(in_frame)
+            crops_np = np.asarray(crops_gan)
+            pts = np.asarray(pts)
+            valid = np.asarray(valid)
+            for j, i in enumerate(idxs):
+                lms[i] = pts[j]
+                ok[i] = bool(valid[j])
+                if valid[j] and in_frame[j]:
+                    out[i] = crops_np[j]
+                    host_crop[i] = False
+        else:
+            pts, valid, _ = estimate_landmarks(s3fd_params, fan_params, batch)
+            pts = np.asarray(pts)
+            valid = np.asarray(valid)
+            for j, i in enumerate(idxs):
+                lms[i] = pts[j]
+                ok[i] = bool(valid[j])
 
-    out = np.zeros((len(resized), image_size, image_size, 3), np.float32)
-    det = [i for i in range(len(resized)) if ok[i]]
+    det = [i for i in range(len(resized)) if ok[i] and host_crop[i]]
     if det:
         # native threaded batch crop (in-frame fast path; Python
         # pad+blur+fade fallback handled inside)

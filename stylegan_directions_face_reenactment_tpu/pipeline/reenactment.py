@@ -23,20 +23,25 @@ from .synthesis import generate_image
 Params = Dict[str, Any]
 
 
-def align_for(fan_params: Optional[Params], compute_dtype=None):
+def align_for(fan_params: Optional[Params], s3fd_params: Optional[Params] = None,
+              compute_dtype=None):
     if fan_params is None:
         return None
     from .alignment import make_fan_align
-    return make_fan_align(fan_params, compute_dtype=compute_dtype)
+    return make_fan_align(fan_params, s3fd_params=s3fd_params,
+                          compute_dtype=compute_dtype)
 
 
 def source_shape(deca_params: Params, source_img: jnp.ndarray,
-                 fan_params: Optional[Params] = None):
+                 fan_params: Optional[Params] = None,
+                 s3fd_params: Optional[Params] = None):
     """DECA coefficients for the (1, 256, 256, 3) source image. With
     ``fan_params``, applies the reference's FAN-bbox → warp-224 DECA
-    alignment (`decalib/datasets/datasets.py:57-86`) before encoding."""
+    alignment (`decalib/datasets/datasets.py:57-86`) before encoding; with
+    ``s3fd_params`` too, the FAN bbox comes from the faithful SFD-crop→FAN
+    chain (`decalib/datasets/detectors.py:23-42`)."""
     return calculate_shapemodel(deca_params, source_img,
-                                align_fn=align_for(fan_params))
+                                align_fn=align_for(fan_params, s3fd_params))
 
 
 def reenact_batch(g_params: Params, a_params: Params, deca_params: Params,
@@ -49,7 +54,8 @@ def reenact_batch(g_params: Params, a_params: Params, deca_params: Params,
                   truncation_latent: Optional[jnp.ndarray] = None,
                   num_layers_shift: int = 8,
                   compute_dtype=jnp.float32,
-                  fan_params: Optional[Params] = None
+                  fan_params: Optional[Params] = None,
+                  s3fd_params: Optional[Params] = None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Reenact a batch of target frames onto one source identity.
 
@@ -65,7 +71,8 @@ def reenact_batch(g_params: Params, a_params: Params, deca_params: Params,
     align_dtype = None if compute_dtype == jnp.float32 else compute_dtype
     params_target, angles_target = calculate_shapemodel(
         deca_params, target_imgs,
-        align_fn=align_for(fan_params, compute_dtype=align_dtype))
+        align_fn=align_for(fan_params, s3fd_params,
+                           compute_dtype=align_dtype))
 
     ps = {k: jnp.broadcast_to(v, (t,) + v.shape[1:])
           for k, v in params_source.items()}
@@ -88,10 +95,12 @@ def make_reenact_fn(g_params: Params, a_params: Params, deca_params: Params,
                     spec: DirectionsSpec, *, truncation: float = 0.7,
                     truncation_latent: Optional[jnp.ndarray] = None,
                     num_layers_shift: int = 8, compute_dtype=jnp.float32,
-                    fan_params: Optional[Params] = None, mesh=None):
+                    fan_params: Optional[Params] = None,
+                    s3fd_params: Optional[Params] = None, mesh=None):
     """Jitted reenactor: (source_code, params_source, angles_source,
     target_imgs) → (reenacted, latents). ``fan_params`` enables the
-    reference's FAN-warp DECA alignment on the target frames.
+    reference's FAN-warp DECA alignment on the target frames;
+    ``s3fd_params`` upgrades it to the faithful SFD-crop→FAN chain.
 
     The frozen weights ride through jit as ARGUMENTS, not closure
     constants — hundreds of MB of baked-in constants overflow compile
@@ -103,7 +112,8 @@ def make_reenact_fn(g_params: Params, a_params: Params, deca_params: Params,
     from ..train.steps import merge_statics, strip_statics
 
     weights, statics = strip_statics((g_params, a_params, deca_params,
-                                      fan_params, truncation_latent))
+                                      fan_params, s3fd_params,
+                                      truncation_latent))
     place_batch = None
     if mesh is not None:
         from ..parallel.mesh import replicate, shard_batch
@@ -112,13 +122,13 @@ def make_reenact_fn(g_params: Params, a_params: Params, deca_params: Params,
 
     @jax.jit
     def _fn(weights, source_code, params_source, angles_source, target_imgs):
-        g, a, deca, fan, trunc = merge_statics(weights, statics)
+        g, a, deca, fan, sfd, trunc = merge_statics(weights, statics)
         return reenact_batch(
             g, a, deca, spec, source_code,
             params_source, angles_source, target_imgs,
             truncation=truncation, truncation_latent=trunc,
             num_layers_shift=num_layers_shift, compute_dtype=compute_dtype,
-            fan_params=fan)
+            fan_params=fan, s3fd_params=sfd)
 
     def fn(source_code, params_source, angles_source, target_imgs):
         if place_batch is not None:

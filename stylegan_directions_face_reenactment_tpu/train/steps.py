@@ -36,25 +36,32 @@ class FrozenModels(NamedTuple):
     ``fan`` (optional) enables the reference's DECA preprocessing — FAN
     landmarks → bbox → similarity warp to 224
     (`decalib/datasets/datasets.py:57-86`) — on every shape-model call;
-    when None, DECA consumes a plain bilinear resize."""
+    ``s3fd`` (optional) upgrades the bbox to the faithful SFD-crop→FAN
+    chain (`decalib/datasets/detectors.py:23-42`). When fan is None, DECA
+    consumes a plain bilinear resize."""
     generator: Params
     deca: Params
     id_backbone: Params
     lpips: Params
     truncation_latent: jnp.ndarray
     fan: Optional[Params] = None
+    s3fd: Optional[Params] = None
 
 
 def make_align_fn(models: FrozenModels, args: TrainingArguments):
     """DECA alignment for the training/eval paths: the reference FAN-warps
     every image before DECA (`datasets.py:57-86`); `args.deca_alignment`
-    picks 'fan' (default, needs models.fan) or 'resize' (fast path)."""
-    if getattr(args, "deca_alignment", "fan") != "fan":
+    picks 'fan' (default: the faithful SFD-crop→FAN bbox when models.s3fd
+    is present, FAN-on-frame otherwise), 'fan_frame' (FAN on the full 256
+    frame — no detector pass), or 'resize' (fast path)."""
+    mode = getattr(args, "deca_alignment", "fan")
+    if mode not in ("fan", "fan_frame"):
         return None
     if getattr(models, "fan", None) is None:
         return None
     from ..pipeline.alignment import make_fan_align
-    return make_fan_align(models.fan)
+    sfd = getattr(models, "s3fd", None) if mode == "fan" else None
+    return make_fan_align(models.fan, s3fd_params=sfd)
 
 
 def make_optimizer(args: TrainingArguments) -> optax.GradientTransformation:

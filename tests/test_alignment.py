@@ -68,6 +68,76 @@ def test_make_align_fn_selection():
     assert make_align_fn(models_fan, args_resize) is None
 
 
+def test_make_align_fn_modes_sfd():
+    """'fan' uses models.s3fd (faithful SFD-crop→FAN); 'fan_frame' ignores
+    it (FAN directly on the frame)."""
+    from stylegan_directions_face_reenactment_tpu.train.steps import (
+        FrozenModels, make_align_fn)
+    models = FrozenModels({}, {}, {}, {}, jnp.zeros((1, 512)),
+                          fan={"dummy": jnp.zeros(())},
+                          s3fd={"dummy": jnp.zeros(())})
+    assert callable(make_align_fn(models, TrainingArguments(
+        deca_alignment="fan")))
+    assert callable(make_align_fn(models, TrainingArguments(
+        deca_alignment="fan_frame")))
+
+
+def test_shapemodel_detection_failure_sentinel():
+    """calculate_shapemodel replicates the reference's failed-detection
+    behavior (`estimate_DECA.py:33-51`): coefficients zero, angles −180°,
+    for exactly the images the aligner flags."""
+    from stylegan_directions_face_reenactment_tpu.models.deca import (
+        calculate_shapemodel, init_deca, synthetic_flame_params)
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    deca = init_deca(ks[0], synthetic_flame_params(ks[1], n_verts=128,
+                                                   n_faces=200),
+                     with_detail=False)
+    imgs = jax.random.uniform(jax.random.PRNGKey(6), (2, 64, 64, 3),
+                              minval=-1.0, maxval=1.0)
+    ok = jnp.asarray([True, False])
+
+    def align_stub(im01):
+        from stylegan_directions_face_reenactment_tpu.models.nn import (
+            resize_bilinear)
+        return resize_bilinear(im01, (DECA_CROP, DECA_CROP)), ok
+
+    p, ang = calculate_shapemodel(deca, imgs, align_fn=align_stub)
+    assert float(jnp.abs(ang[1] + 180.0).max()) == 0.0
+    assert float(jnp.abs(ang[0] + 180.0).max()) > 0.0
+    for k in ("pose", "alpha_shp", "alpha_exp", "cam"):
+        assert float(jnp.abs(p[k][1]).max()) == 0.0
+        assert float(jnp.abs(p[k][0]).max()) > 0.0
+
+
+@pytest.mark.slow
+def test_fan_align_sfd_matches_manual_composition():
+    """make_fan_align(fan, s3fd) is exactly estimate_landmarks →
+    kpt68 bbox → warp_to_224, with the whole-frame fallback on failed
+    detections (random-init S3FD never clears the 0.99 gate, so this also
+    exercises the fallback: the warp degenerates to the full-frame map)."""
+    from stylegan_directions_face_reenactment_tpu.models.face import (
+        init_fan, init_s3fd)
+    from stylegan_directions_face_reenactment_tpu.models.face.landmarks import (
+        estimate_landmarks)
+
+    ks = jax.random.split(jax.random.PRNGKey(2), 2)
+    sfd, fan = init_s3fd(ks[0]), init_fan(ks[1])
+    im01 = jax.random.uniform(jax.random.PRNGKey(7), (2, 256, 256, 3))
+
+    align = make_fan_align(fan, s3fd_params=sfd, return_ok=True)
+    aligned, ok = jax.jit(align)(im01)
+    assert aligned.shape == (2, DECA_CROP, DECA_CROP, 3)
+
+    lms, ok_want, _ = estimate_landmarks(sfd, fan, im01 * 255.0)
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_want))
+    center, old_size = kpt68_center_size(lms)
+    center = jnp.where(ok_want[:, None], center, 128.0)
+    old_size = jnp.where(ok_want, old_size, 256.0 / DECA_SCALE)
+    want = warp_to_224(im01, center, old_size)
+    np.testing.assert_allclose(np.asarray(aligned), np.asarray(want),
+                               atol=1e-5)
+
+
 @pytest.mark.slow
 def test_fan_align_shapemodel_differs_from_resize():
     """calculate_shapemodel with the FAN aligner consumes different crops

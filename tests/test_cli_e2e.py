@@ -204,3 +204,36 @@ def test_run_trainer_cli_n_devices(tmp_path):
     log = os.path.join(f"{exp}_voxceleb_paired", "logs", "train_log.jsonl")
     rec = json.loads(open(log).readline())
     assert np.isfinite(rec["loss"])
+
+
+def test_parity_report_random_init(tmp_path):
+    """The quality-parity harness (`cli/parity_report.py`) runs end-to-end
+    with --random_init: self-reenactment over the bundled mp4, the three
+    `utils_train.py:695-732` metrics, PARITY_REPORT.json with the
+    unverified label, and a gate verdict against a supplied reference
+    metrics file."""
+    if not MP4S:
+        pytest.skip("no bundled mp4")
+    import json
+    from stylegan_directions_face_reenactment_tpu.cli.parity_report import (
+        main)
+    ref = tmp_path / "ref.json"
+    ref.write_text(json.dumps({"csim": 0.99, "pose": 0.5, "exp": 0.1}))
+    out = tmp_path / "report"
+    rep = main(["--target_path", MP4S[0], "--output_path", str(out),
+                "--random_init", "--skip_preprocess",
+                "--image_resolution", RES, "--frame_batch", "4",
+                "--video_stride", "60", "--no-optimize_generator",
+                "--reference_metrics", str(ref)])
+    saved = json.loads((out / "PARITY_REPORT.json").read_text())
+    for rec in (rep, saved):
+        m = rec["metrics"]
+        assert np.isfinite([m["csim"], m["pose_error_deg"],
+                            m["expression_error"]]).all()
+        assert -1.0 <= m["csim"] <= 1.0
+        assert rec["checkpoints"] == "random_init"
+        assert rec["verified"] is False
+        assert rec["self_reenactment"] is True
+        assert rec["n_frames"] > 0
+        assert rec["gate"]["tolerance"] == 0.01
+        assert set(rec["gate"]["checks"]) == {"csim", "pose", "exp"}

@@ -222,3 +222,52 @@ def test_detect_faces_shapes(rng):
     boxes, valid = detect_faces(p, imgs, top_k=16)
     assert boxes.shape == (2, 16, 5)
     assert valid.shape == (2, 16)
+
+
+def test_ffhq_crop_device_matches_host(rng):
+    """The jittable device FFHQ crop (fused PIL-structured bicubic, two MXU
+    einsums) matches the PIL host path within 1 intensity unit on in-frame
+    boxes — the same tolerance as the native C++ path — and flags
+    out-of-frame boxes for the host pad+fade fallback."""
+    import jax
+    from stylegan_directions_face_reenactment_tpu.models.face.cropping import (
+        ffhq_crop_device)
+    imgs = (rng.rand(4, 300, 300, 3) * 255).astype(np.uint8)
+    lms = (rng.rand(4, 68, 2) * 80 + 110).astype(np.float32)
+    crops, in_frame = jax.jit(ffhq_crop_device)(jnp.asarray(imgs),
+                                                jnp.asarray(lms))
+    crops = np.asarray(crops)
+    assert np.asarray(in_frame).all()
+    for i in range(4):
+        ref = crop_using_landmarks(imgs[i], lms[i])
+        diff = np.abs(crops[i].astype(int) - ref.astype(int))
+        assert diff.max() <= 1, diff.max()
+
+    lms_oob = lms.copy()
+    lms_oob[0] -= 100.0
+    _, inf = jax.jit(ffhq_crop_device)(jnp.asarray(imgs),
+                                       jnp.asarray(lms_oob))
+    inf = np.asarray(inf)
+    assert not inf[0] and inf[1:].all()
+
+
+def test_preprocess_images_device_crop_matches_host(rng):
+    """preprocess_images(device_crop=True) == the host path within 1 LSB of
+    the u8 quantization (1/127.5 in GAN range) when detection succeeds."""
+    import jax
+    from stylegan_directions_face_reenactment_tpu.models.face import (
+        init_fan, init_s3fd)
+    from stylegan_directions_face_reenactment_tpu.pipeline.preprocess import (
+        preprocess_images)
+    ks = jax.random.split(jax.random.PRNGKey(3), 2)
+    sfd, fan = init_s3fd(ks[0]), init_fan(ks[1])
+    frames = [(rng.rand(128, 128, 3) * 255).astype(np.uint8)
+              for _ in range(2)]
+    host, ok_h = preprocess_images(sfd, fan, frames, image_size=64)
+    dev, ok_d = preprocess_images(sfd, fan, frames, image_size=64,
+                                  device_crop=True)
+    np.testing.assert_array_equal(ok_h, ok_d)
+    # random-init detectors rarely clear the gate; when they do, compare
+    for i in range(2):
+        if ok_h[i]:
+            assert np.abs(host[i] - dev[i]).max() <= 1.01 / 127.5
