@@ -49,7 +49,16 @@ def init_conv_block(key, in_planes: int, out_planes: int) -> Params:
 
 
 def conv_block(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """Dense residual block (`fan_model/models.py:13-55`)."""
+    """Dense residual block (`fan_model/models.py:13-55`).
+
+    A fused whole-image Pallas kernel exists for the channels-equal 256-ch
+    blocks (`ops/fused_conv_block.py`) but ships disabled: measured slower
+    than this XLA path (12.7 vs 9.5 ms on the bf16 FAN batch; see the
+    kernel's docstring for the analysis)."""
+    from ...ops.fused_conv_block import (conv_block_fused,
+                                         fused_convblock_enabled)
+    if fused_convblock_enabled(p, x):
+        return conv_block_fused(p, x)
     out1 = conv2d(relu(batch_norm(x, p["bn1"])), p["conv1"], padding=1)
     out2 = conv2d(relu(batch_norm(out1, p["bn2"])), p["conv2"], padding=1)
     out3 = conv2d(relu(batch_norm(out2, p["bn3"])), p["conv3"], padding=1)

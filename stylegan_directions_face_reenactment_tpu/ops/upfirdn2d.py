@@ -128,17 +128,20 @@ def upfirdn2d(x: jnp.ndarray, kernel: jnp.ndarray, up=1, down=1,
 # ---------------------------------------------------------------------------
 
 # Backend for the up/blur resampling ops:
-#   "xla"    — the dilated-conv formulation above (TPU f32 convs use bf16
-#              multiply passes ⇒ ~1e-2 abs error); fuses with neighbors.
+#   "xla"    — the dilated-conv formulation above; fuses with neighbors.
 #   "pallas" — the double-buffered polyphase Pallas kernel
 #              (`ops/pallas_upfirdn.py`) everywhere: exact f32 like the
 #              reference CUDA kernel.
-#   "mixed"  — Pallas for 2x upsampling (exact f32, at per-op parity with
-#              XLA on v5e after double-buffering the row-band DMA: up64
-#              0.98x / up128 ~1.0x, e2e reenact 566.2 vs 566.5 fps), XLA
-#              for the small in-graph blurs where conv fusion still wins.
+#   "mixed"  — Pallas for 2x upsampling (at per-op parity with XLA on v5e
+#              after double-buffering the row-band DMA: up64 0.98x /
+#              up128 ~1.0x, e2e reenact 566.2 vs 566.5 fps), XLA for the
+#              small in-graph blurs where conv fusion still wins.
 #   "auto"   — DEFAULT: "mixed" on TPU; "xla" elsewhere (off-TPU the
 #              Pallas kernel runs interpreted — correct but slow).
+# Numerics: all three are equivalent at f32 on v5e — the depthwise
+# resample convs lower exactly (composed 256² synthesis drift of mixed/xla
+# vs pallas measured 0.0, `tools/measure_backend_drift.py`); backend
+# choice is purely a performance knob.
 _RESAMPLE_BACKEND = "auto"
 
 

@@ -9,6 +9,10 @@ small blurs). This script measures the COMPOSED 256² synthesis drift of
 """
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

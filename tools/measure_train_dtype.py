@@ -11,7 +11,10 @@ default can be picked on data instead of guesswork. Run on TPU:
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -1,4 +1,6 @@
-import time, jax, jax.numpy as jnp, numpy as np
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax, jax.numpy as jnp, numpy as np
 from stylegan_directions_face_reenactment_tpu.utils.jax_cache import enable_persistent_cache
 enable_persistent_cache()
 from stylegan_directions_face_reenactment_tpu.ops.upfirdn2d import (blur, upsample2d, set_resample_backend, make_kernel, upfirdn2d)

@@ -9,10 +9,13 @@ TFLOP/s and % of peak — the numbers behind PERF.md.
 Run on TPU:  python tools/profile_reenact.py [batch]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 PEAKS = {
