@@ -134,11 +134,16 @@ def decompose_code(code: jnp.ndarray) -> Dict[str, jnp.ndarray]:
 
 def deca_encode(params: Params, images: jnp.ndarray,
                 with_detail: bool = False) -> Dict[str, jnp.ndarray]:
-    """images (B, 224, 224, 3) in [0,1] → coefficient dict (`deca.py:151-158`)."""
-    code = resnet_encoder_forward(params["e_flame"], images)
+    """images (B, 224, 224, 3) in [0,1] → coefficient dict (`deca.py:151-158`).
+
+    The ResNet-50 follows the input dtype (bf16 images → bf16 trunk); the
+    regressed coefficient vector is always returned in f32 — everything
+    downstream (Δp maps, FLAME, losses) is f32 math."""
+    code = resnet_encoder_forward(params["e_flame"], images).astype(jnp.float32)
     codedict = decompose_code(code)
     if with_detail and "e_detail" in params:
-        codedict["detail"] = resnet_encoder_forward(params["e_detail"], images)
+        codedict["detail"] = resnet_encoder_forward(
+            params["e_detail"], images).astype(jnp.float32)
     return codedict
 
 
@@ -192,7 +197,8 @@ def extract_deca_params(params: Params, images224: jnp.ndarray
 def calculate_shapemodel(params: Params, images: jnp.ndarray,
                          image_space: str = "gan",
                          align_fn=None,
-                         image_size: int = IMAGE_SIZE
+                         image_size: int = IMAGE_SIZE,
+                         compute_dtype=None
                          ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
     """GAN-range ([-1,1]) or [0,255] images → coefficient dict + angles
     (`libs/utilities/generic.py:22-34`). DECA consumes [0,1] at 224.
@@ -204,6 +210,11 @@ def calculate_shapemodel(params: Params, images: jnp.ndarray,
     default on the training/eval/inference paths when a FAN model is
     loaded). Fallback: bilinear resize to ``image_size`` (the fast path;
     also lets tiny-shape dry runs shrink the ResNet-50 graph).
+
+    ``compute_dtype``: run the ResNet-50 encoder trunk in this dtype (the
+    production serving path uses bf16, matching the alignment nets and the
+    synthesis stack); coefficients always come back f32. Default None
+    keeps f32 end to end (the training default and exact parity).
     """
     if image_space == "gan":
         images = (jnp.clip(images, -1.0, 1.0) + 1.0) / 2.0
@@ -216,6 +227,8 @@ def calculate_shapemodel(params: Params, images: jnp.ndarray,
             images, ok = images
     elif images.shape[1] != image_size or images.shape[2] != image_size:
         images = resize_bilinear(images, (image_size, image_size))
+    if compute_dtype is not None:
+        images = images.astype(compute_dtype)
     p, shp, exp, angles, cam = extract_deca_params(params, images)
     if ok is not None:
         # reference behavior on failed detection: coefficients stay zero and

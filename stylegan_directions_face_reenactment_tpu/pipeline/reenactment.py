@@ -68,11 +68,15 @@ def reenact_batch(g_params: Params, a_params: Params, deca_params: Params,
     (cf. reference per-frame loop `run_inference.py:170-195`).
     """
     t = target_imgs.shape[0]
+    # bf16 serving: the alignment nets AND the DECA ResNet-50 trunk follow
+    # the synthesis compute dtype (coefficients stay f32); f32 keeps exact
+    # parity everywhere
     align_dtype = None if compute_dtype == jnp.float32 else compute_dtype
     params_target, angles_target = calculate_shapemodel(
         deca_params, target_imgs,
         align_fn=align_for(fan_params, s3fd_params,
-                           compute_dtype=align_dtype))
+                           compute_dtype=align_dtype),
+        compute_dtype=align_dtype)
 
     ps = {k: jnp.broadcast_to(v, (t,) + v.shape[1:])
           for k, v in params_source.items()}

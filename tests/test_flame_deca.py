@@ -164,3 +164,28 @@ def test_detail_generator_shape():
     out = detail_generator_forward(p, z)
     assert out.shape == (2, 256, 256, 1)
     assert float(jnp.abs(out).max()) <= 0.01 + 1e-6
+
+
+def test_shapemodel_bf16_encode_close_to_f32():
+    """The bf16 serving dtype for the DECA ResNet-50 trunk
+    (`calculate_shapemodel(compute_dtype=...)`) returns f32 coefficients
+    close to the f32 path — pose angles within tenths of a degree class
+    bounds on random nets."""
+    import jax
+    import jax.numpy as jnp
+    from stylegan_directions_face_reenactment_tpu.models.deca import (
+        calculate_shapemodel, init_deca, synthetic_flame_params)
+    ks = jax.random.split(jax.random.PRNGKey(5), 2)
+    deca = init_deca(ks[0], synthetic_flame_params(ks[1], n_verts=128,
+                                                   n_faces=200),
+                     with_detail=False)
+    imgs = jax.random.uniform(jax.random.PRNGKey(6), (2, 64, 64, 3),
+                              minval=-1.0, maxval=1.0)
+    p32, a32 = calculate_shapemodel(deca, imgs, image_size=64)
+    p16, a16 = calculate_shapemodel(deca, imgs, image_size=64,
+                                    compute_dtype=jnp.bfloat16)
+    for k in p16:
+        assert p16[k].dtype == jnp.float32
+        scale = float(jnp.abs(p32[k]).max()) + 1e-6
+        assert float(jnp.abs(p16[k] - p32[k]).max()) / scale < 0.05
+    assert a16.dtype == jnp.float32
