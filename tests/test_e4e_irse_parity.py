@@ -111,3 +111,20 @@ def test_e4e_random_init_shapes():
     out = e4e_forward(p, x)
     assert out.shape == (1, 14, 512)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.slow
+def test_e4e_full_parity_256_input(rng):
+    """Full parity at the e4e's REAL input resolution (256² — the pyramid
+    taps hit their production spatial dims; the 64² variant above only
+    matches graph structure)."""
+    E4E = load_e4e_class()
+    torch.manual_seed(4)
+    mod = E4E(50, "ir_se", 256).eval()
+    x = rng.randn(1, 256, 256, 3).astype(np.float32)
+    with torch.no_grad():
+        want = mod(nchw(x)).numpy()
+    params = convert_e4e_encoder(mod.state_dict(), image_resolution=256)
+    got = np.asarray(e4e_forward(params, jnp.asarray(x)))
+    assert got.shape == want.shape == (1, 14, 512)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

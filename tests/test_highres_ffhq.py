@@ -142,3 +142,30 @@ def test_generator_e4e_reenact_512_structural():
     assert reenacted.shape == (1, 256, 256, 3)
     assert shifted.shape == (1, 16, 512)
     assert np.isfinite(np.asarray(reenacted)).all()
+
+
+@pytest.mark.slow
+def test_generator_1024_structural():
+    """FFHQ's shipped resolution: 1024² synthesis with the full channel
+    table (rows 512/1024) and 18 W+ rows; direction shift on the first 8."""
+    from stylegan_directions_face_reenactment_tpu.models import (
+        init_direction_matrix, init_generator, n_latent_for)
+    from stylegan_directions_face_reenactment_tpu.models.direction_matrix import (
+        direction_matrix_forward)
+    from stylegan_directions_face_reenactment_tpu.pipeline.synthesis import (
+        generate_image)
+
+    size = 1024
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    g = init_generator(ks[0], size=size)
+    assert n_latent_for(size) == 18
+    a = init_direction_matrix(ks[1], 512, 15, w_plus=True, num_layers=8)
+
+    codes = jax.random.normal(ks[2], (1, 18, 512)) * 0.1
+    shift = direction_matrix_forward(a, jnp.ones((1, 15)))
+    assert shift.shape == (1, 8, 512)
+    # generate_image pools to 256 like the reference (`generic.py:148-151`)
+    img = generate_image(g, codes, input_is_latent=True, shift_code=shift,
+                         num_layers_shift=8, w_plus=True)
+    assert img.shape == (1, 256, 256, 3)
+    assert np.isfinite(np.asarray(img)).all()
