@@ -10,3 +10,5 @@ from .deca import (init_deca, init_resnet_encoder, resnet_encoder_forward,
                    decompose_code, deca_encode, deca_decode, calculate_shape,
                    extract_deca_params, calculate_shapemodel,
                    PARAM_SPLIT, N_PARAM, IMAGE_SIZE)
+from .render import (render_shape, shape_visualization, rasterize,
+                     vertex_normals, face_vertices, add_directionlight)

@@ -1,0 +1,262 @@
+"""DECA shape visualization: TPU-native mesh rasterizer + flat shading.
+
+JAX equivalent of the reference's `SRenderY.render_shape`
+(`libs/DECA/decalib/utils/renderer.py:237-294`) and its pytorch3d
+rasterizer front-end (`renderer.py:28-79`). The reference uses this path
+only for visualization (`decalib/deca.py:186-189` inside `decode_deca`);
+nothing on the training/inference compute path depends on it — but a user
+of the reference gets shape-overlay renders, so the rebuild supplies them.
+
+Design (TPU-first, no pytorch3d):
+
+* The rasterizer is a `lax.scan` over fixed-size face chunks carrying a
+  per-pixel (z-buffer, interpolated-attribute, coverage) state. Each chunk
+  evaluates affine barycentric coordinates for all pixels against all
+  chunk faces in one broadcasted VPU block, argmins the chunk's nearest
+  hit per pixel, and merges into the carry with `where`. Static shapes
+  throughout; batched via `vmap`.
+* Semantics match pytorch3d with the reference's fixed settings
+  (`renderer.py:40-47`: blur 0, faces_per_pixel 1, no perspective
+  correction): a pixel is covered by a face iff all three barycentric
+  coordinates are >= 0, depth is the barycentric interpolation of vertex
+  z, the nearest (smallest z) face wins, attributes interpolate with the
+  same weights, and uncovered pixels are zero with a coverage mask
+  channel (`renderer.py:51-79`).
+* Pixel centers: the reference negates x/y before handing pytorch3d its
+  "+x left, +y up" NDC frame (`renderer.py:52-53`); composing the two
+  flips, a vertex at (x, y) lands on pixel column (x+1)*S/2 - 0.5 and row
+  (y+1)*S/2 - 0.5 — so we rasterize directly in the DECA screen frame
+  with pixel-center coordinates 2*(i+0.5)/S - 1.
+
+Mesh topology (faces) comes from the FLAME ``generic_model.pkl``
+(`params["flame"]["faces"]`); the reference's separate
+``head_template.obj`` is only needed for UV-space (texture/detail)
+rendering, which stays out of scope (`use_tex=False` on every reference
+path, `estimate_DECA.py:20`).
+
+Everything is channel-last (NHWC) like the rest of the package.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+GRAY = 180.0 / 255.0  # shape-overlay albedo (`renderer.py:112-114`)
+
+# five directional lights, intensity 1.7 (`renderer.py:243-254`)
+DEFAULT_LIGHT_POSITIONS = (
+    (-1.0, 1.0, 1.0),
+    (1.0, 1.0, 1.0),
+    (-1.0, -1.0, 1.0),
+    (1.0, -1.0, 1.0),
+    (0.0, 0.0, 1.0),
+)
+DEFAULT_LIGHT_INTENSITY = 1.7
+
+
+def face_vertices(vertices: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-face vertex attributes (`decalib/utils/util.py:173-191`).
+
+    vertices (B, V, D); faces (F, 3) int → (B, F, 3, D)."""
+    return vertices[:, faces]
+
+
+def vertex_normals(vertices: jnp.ndarray, faces: jnp.ndarray) -> jnp.ndarray:
+    """Area-weighted vertex normals (`decalib/utils/util.py:193-224`):
+    accumulate the face cross product at each of its three corners, then
+    normalize. vertices (B, V, 3); faces (F, 3) → (B, V, 3)."""
+    fv = vertices[:, faces]                               # (B, F, 3, 3)
+    v0, v1, v2 = fv[:, :, 0], fv[:, :, 1], fv[:, :, 2]
+    # the reference adds cross(c - b, a - b) at b, cross(a - c, b - c) at c,
+    # cross(b - a, c - a) at a — all equal to the face normal
+    n_at1 = jnp.cross(v2 - v1, v0 - v1)
+    n_at2 = jnp.cross(v0 - v2, v1 - v2)
+    n_at0 = jnp.cross(v1 - v0, v2 - v0)
+    acc = jnp.zeros_like(vertices)
+    acc = acc.at[:, faces[:, 1]].add(n_at1)
+    acc = acc.at[:, faces[:, 2]].add(n_at2)
+    acc = acc.at[:, faces[:, 0]].add(n_at0)
+    norm = jnp.linalg.norm(acc, axis=-1, keepdims=True)
+    return acc / jnp.maximum(norm, 1e-6)
+
+
+def _rasterize_single(verts: jnp.ndarray, faces: jnp.ndarray,
+                      attributes: jnp.ndarray, image_size: int,
+                      chunk: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One image. verts (V, 3) in the DECA screen frame ([-1, 1] across the
+    image, +x right / +y down, +z away); faces (F, 3); attributes
+    (F, 3, D). Returns (pixel_vals (S, S, D), coverage (S, S))."""
+    n_faces = faces.shape[0]
+    depth = attributes.shape[-1]
+    size = image_size
+
+    n_chunks = -(-n_faces // chunk)
+    pad = n_chunks * chunk - n_faces
+    fxyz = verts[faces]                                   # (F, 3, 3)
+    fxyz = jnp.pad(fxyz, ((0, pad), (0, 0), (0, 0)))
+    fattr = jnp.pad(attributes, ((0, pad), (0, 0), (0, 0)))
+    fvalid = jnp.pad(jnp.ones((n_faces,), bool), (0, pad))
+
+    fxyz = fxyz.reshape(n_chunks, chunk, 3, 3)
+    fattr = fattr.reshape(n_chunks, chunk, 3, depth)
+    fvalid = fvalid.reshape(n_chunks, chunk)
+
+    coords = (2.0 * (jnp.arange(size, dtype=jnp.float32) + 0.5) / size) - 1.0
+    px = coords[None, None, :]                            # (1, 1, S) cols → x
+    py = coords[None, :, None]                            # (1, S, 1) rows → y
+
+    big = jnp.float32(jnp.inf)
+
+    def step(carry, chunk_data):
+        zbuf, attr_buf, cover = carry
+        cxyz, cattr, cvalid = chunk_data
+        x = cxyz[:, :, 0]                                 # (C, 3)
+        y = cxyz[:, :, 1]
+        z = cxyz[:, :, 2]
+
+        def edge(i, j):
+            # signed area of (v_i, v_j, pixel), up to the common 1/2
+            return ((x[:, i, None, None] - px) * (y[:, j, None, None] - py)
+                    - (x[:, j, None, None] - px) * (y[:, i, None, None] - py))
+
+        w0 = edge(1, 2)                                   # (C, S, S)
+        w1 = edge(2, 0)
+        w2 = edge(0, 1)
+        area = ((x[:, 1] - x[:, 0]) * (y[:, 2] - y[:, 0])
+                - (x[:, 2] - x[:, 0]) * (y[:, 1] - y[:, 0]))  # (C,)
+        ok = cvalid & (jnp.abs(area) > 1e-12)
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, area, 1.0), 0.0)
+        b0 = w0 * inv[:, None, None]
+        b1 = w1 * inv[:, None, None]
+        b2 = w2 * inv[:, None, None]
+        inside = ((b0 >= 0) & (b1 >= 0) & (b2 >= 0)
+                  & ok[:, None, None])
+        zi = (b0 * z[:, 0, None, None] + b1 * z[:, 1, None, None]
+              + b2 * z[:, 2, None, None])
+        zc = jnp.where(inside, zi, big)                   # (C, S, S)
+
+        win = jnp.argmin(zc, axis=0)                      # (S, S)
+        zwin = jnp.min(zc, axis=0)                        # (S, S)
+        bary = jnp.stack([b0, b1, b2], axis=-1)           # (C, S, S, 3)
+        bwin = jnp.take_along_axis(
+            bary, win[None, :, :, None], axis=0)[0]       # (S, S, 3)
+        vert_attr = cattr[win]                            # (S, S, 3, D)
+        interp = jnp.einsum("ijk,ijkd->ijd", bwin, vert_attr)
+
+        upd = zwin < zbuf                                 # inf never wins
+        zbuf = jnp.where(upd, zwin, zbuf)
+        attr_buf = jnp.where(upd[:, :, None], interp, attr_buf)
+        cover = jnp.where(upd, 1.0, cover)
+        return (zbuf, attr_buf, cover), None
+
+    init = (jnp.full((size, size), big),
+            jnp.zeros((size, size, depth), jnp.float32),
+            jnp.zeros((size, size), jnp.float32))
+    (zbuf, attr_buf, cover), _ = jax.lax.scan(step, init,
+                                              (fxyz, fattr, fvalid))
+    return attr_buf, cover
+
+
+def rasterize(transformed_vertices: jnp.ndarray, faces: jnp.ndarray,
+              attributes: jnp.ndarray, image_size: int = 224,
+              chunk: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched z-buffer rasterization (`renderer.py:51-79`).
+
+    transformed_vertices (B, V, 3) in the DECA screen frame; faces (F, 3)
+    shared across the batch; attributes (B, F, 3, D) per face vertex.
+    Returns (pixel_vals (B, S, S, D), coverage (B, S, S)) — uncovered
+    pixels are zero, coverage is pytorch3d's `vismask`."""
+    fn = lambda v, a: _rasterize_single(v, faces, a, image_size, chunk)
+    return jax.vmap(fn)(transformed_vertices, attributes)
+
+
+def default_lights(batch: int) -> jnp.ndarray:
+    """(B, 5, 6) [direction | intensity] (`renderer.py:243-254`)."""
+    pos = jnp.asarray(DEFAULT_LIGHT_POSITIONS, jnp.float32)
+    lights = jnp.concatenate(
+        [pos, jnp.full_like(pos, DEFAULT_LIGHT_INTENSITY)], axis=1)
+    return jnp.broadcast_to(lights[None], (batch, 5, 6))
+
+
+def add_directionlight(normals: jnp.ndarray, lights: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Directional lighting (`renderer.py:225-235`): mean over lights of
+    clamp(n·l, 0, 1)·intensity. normals (B, N, 3); lights (B, L, 6) with
+    [:, :, :3] the light *positions used as directions*."""
+    direction = lights[:, :, :3]
+    intensity = lights[:, :, 3:]
+    direction = direction / jnp.maximum(
+        jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-12)
+    ndl = jnp.clip(jnp.einsum("bld,bnd->bln", direction, normals), 0.0, 1.0)
+    shading = ndl[:, :, :, None] * intensity[:, :, None, :]   # (B, L, N, 3)
+    return shading.mean(axis=1)
+
+
+def render_shape(vertices: jnp.ndarray, transformed_vertices: jnp.ndarray,
+                 faces: jnp.ndarray, images: Optional[jnp.ndarray] = None,
+                 lights: Optional[jnp.ndarray] = None,
+                 image_size: int = 224, chunk: int = 256) -> jnp.ndarray:
+    """Gray shaded-shape render, optionally composited over `images`
+    (`renderer.py:237-294`).
+
+    vertices (B, V, 3) world FLAME mesh; transformed_vertices (B, V, 3)
+    after `batch_orth_proj` + y/z negation (NDC, *unscaled* — the
+    reference's `decode_deca` frame, `decalib/deca.py:175`); faces (F, 3);
+    images optional (B, S, S, 3) NHWC in [0, 1] range semantics of the
+    caller. Returns (B, S, S, 3)."""
+    batch = vertices.shape[0]
+    if lights is None:
+        lights = default_lights(batch)
+    tv = transformed_vertices.at[:, :, 2].add(10.0)       # `renderer.py:255`
+
+    fv_world = face_vertices(vertices, faces)
+    normals = vertex_normals(vertices, faces)
+    face_normals = face_vertices(normals, faces)
+    t_normals = vertex_normals(tv, faces)
+    t_face_normals = face_vertices(t_normals, faces)
+    colors = jnp.full_like(fv_world, GRAY)
+    attributes = jnp.concatenate(
+        [colors, t_face_normals, fv_world, face_normals], axis=-1)  # D=12
+
+    rendering, cover = rasterize(tv, faces, attributes, image_size, chunk)
+
+    albedo = rendering[..., 0:3]
+    t_normal_map = rendering[..., 3:6]
+    pos_mask = (t_normal_map[..., 2:3] < 0.15).astype(jnp.float32)
+    normal_images = rendering[..., 9:12]
+
+    shading = add_directionlight(
+        normal_images.reshape(batch, -1, 3), lights)
+    shading_images = shading.reshape(batch, image_size, image_size, 3)
+    shaded = albedo * shading_images
+
+    alpha = cover[..., None] * pos_mask
+    if images is None:
+        return shaded * alpha
+    return shaded * alpha + images * (1.0 - alpha)
+
+
+def shape_visualization(params: Params, codedict: Dict[str, jnp.ndarray],
+                        images: Optional[jnp.ndarray] = None,
+                        image_size: int = 224) -> jnp.ndarray:
+    """`decode_deca`-style shape overlay (`decalib/deca.py:160-189`): FLAME
+    decode → weak-perspective projection with y/z negation (kept in NDC) →
+    `render_shape` over the input images.
+
+    params: DECA param dict (needs `flame`); codedict: {shape, exp, pose,
+    cam}; images optional (B, S, S, 3) NHWC. Returns (B, S, S, 3)."""
+    from ...geometry.rotations import batch_orth_proj
+    from .flame import flame_forward
+
+    verts, _, _ = flame_forward(params["flame"], codedict["shape"],
+                                codedict["exp"], codedict["pose"])
+    tverts = batch_orth_proj(verts, codedict["cam"])
+    tverts = tverts.at[:, :, 1:].multiply(-1.0)           # `deca.py:175`
+    return render_shape(verts, tverts, params["flame"]["faces"],
+                        images=images, image_size=image_size)
