@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="synthesis compute dtype inside the train step")
+    p.add_argument("--cache_gt_shape", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="paired method: memoize the fixed dataset frames' "
+                        "DECA coefficients (training invariants) instead of "
+                        "recomputing their alignment+encode pass every step")
     p.add_argument("--no_evaluation", action="store_true",
                    help="disable the eval cadence (smoke runs without a "
                         "validation set)")
@@ -88,6 +93,7 @@ def main(argv=None):
         log_images_wandb=args_ns.log_images_wandb,
         deca_alignment=args_ns.deca_alignment,
         train_compute_dtype=args_ns.train_compute_dtype,
+        cache_gt_shape=args_ns.cache_gt_shape,
         evaluation=not args_ns.no_evaluation,
     )
 

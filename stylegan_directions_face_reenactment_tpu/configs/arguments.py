@@ -59,6 +59,10 @@ class TrainingArguments:
     # synthesis compute dtype inside the train step: 'bfloat16' roughly
     # halves the StyleGAN2 forward/backward HBM traffic (A stays f32)
     train_compute_dtype: str = "float32"   # float32 | bfloat16
+    # paired method: memoize the fixed dataset frames' DECA coefficients
+    # (training invariants) instead of recomputing the alignment+encode
+    # pass on them every step like the reference (`trainer.py:361-365`)
+    cache_gt_shape: bool = True
     channel_multiplier: int = 2
     truncation: float = 0.7
     dim_z: int = 512

@@ -225,6 +225,9 @@ class CustomDatasetPaired:
                                                self.image_size),
             "target_latent_code": np.load(video["codes"][target_index]).astype(
                 np.float32).reshape(-1, 512),
+            # frame identities for the Trainer's GT shape-coefficient cache
+            "source_path": str(video["frames"][source_index]),
+            "target_path": str(video["frames"][target_index]),
         }
 
 

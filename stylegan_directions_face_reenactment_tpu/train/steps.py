@@ -358,9 +358,20 @@ def make_real_step(models: FrozenModels, spec: DirectionsSpec,
 
 def make_paired_step(models: FrozenModels, spec: DirectionsSpec,
                      args: TrainingArguments,
-                     tx: optax.GradientTransformation, mesh=None) -> Callable:
+                     tx: optax.GradientTransformation, mesh=None,
+                     cached_shape: bool = False) -> Callable:
     """`Trainer.train_paired()` step (`trainer.py:349-397`): same-video
-    source/target frame pairs; losses vs the real target frame."""
+    source/target frame pairs; losses vs the real target frame.
+
+    ``cached_shape=True`` builds the variant that takes the source/target
+    DECA coefficients as step INPUTS instead of recomputing them: the
+    reference re-runs its FAN-align + DECA-encode pass on the same fixed
+    dataset frames every step (`trainer.py:361-365`), but those
+    coefficients are training invariants (stop-gradient, deterministic
+    per frame) — the Trainer memoizes them host-side (~1 KB/frame) and
+    the step drops two of its three alignment+encode passes plus the
+    source-image upload. The shifted image's pass (the one under grad)
+    still runs in-step."""
     lambdas = _lambdas(args)
     models_arrays, models_statics = strip_statics(models)
 
@@ -404,10 +415,70 @@ def make_paired_step(models: FrozenModels, spec: DirectionsSpec,
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss_dict
 
+    @jax.jit
+    def _step_cached(trainable: Params, opt_state, rng: jax.Array,
+                     models_arrays: FrozenModels,
+                     source_w: jnp.ndarray, target_w: jnp.ndarray,
+                     target_img: jnp.ndarray,
+                     params_source: Dict[str, jnp.ndarray],
+                     angles_source: jnp.ndarray,
+                     params_target: Dict[str, jnp.ndarray],
+                     angles_target: jnp.ndarray):
+        models = merge_statics(models_arrays, models_statics)
+        align = make_align_fn(models, args)
+
+        def shapemodel(imgs):
+            return calculate_shapemodel(models.deca, imgs, align_fn=align,
+                                        image_size=args.deca_image_size)
+
+        shift_vector = make_shift_vector(spec, params_source, params_target,
+                                         angles_source, angles_target)
+
+        def loss_fn_t(a_train):
+            shift = _a_apply(a_train, shift_vector, args)
+            imgs_shifted, shifted_latents = generate_image(
+                models.generator, source_w, truncation=args.truncation,
+                truncation_latent=models.truncation_latent, shift_code=shift,
+                input_is_latent=True, return_latents=True,
+                num_layers_shift=args.num_layers_shift, w_plus=args.w_plus,
+                compute_dtype=_compute_dtype(args))
+            params_shifted, _ = shapemodel(imgs_shifted)
+            return calculate_losses_paired(
+                models.deca, models.id_backbone, models.lpips, lambdas,
+                params_shifted, params_target, imgs_shifted, target_img,
+                shifted_latents, target_w)
+
+        (loss, loss_dict), grads = jax.value_and_grad(
+            loss_fn_t, has_aux=True)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss_dict
+
+    inner = _step_cached if cached_shape else _step
+
     def step(a_params: Params, opt_state, rng, *extra):
         trainable, rebuild = split_a(a_params)
-        trainable, opt_state, loss_dict = _step(trainable, opt_state, rng,
+        trainable, opt_state, loss_dict = inner(trainable, opt_state, rng,
                                                 models_arrays, *extra)
         return rebuild(trainable), opt_state, loss_dict
 
     return step
+
+
+def make_shape_program(models: FrozenModels, args: TrainingArguments):
+    """One jitted alignment+DECA-encode pass over a batch of GAN-range
+    images — the Trainer's cache-fill program for `cached_shape` training
+    (same math as the in-step `shapemodel` closures above)."""
+    models_arrays, models_statics = strip_statics(models)
+
+    @jax.jit
+    def _shape(models_arrays: FrozenModels, imgs: jnp.ndarray):
+        models = merge_statics(models_arrays, models_statics)
+        align = make_align_fn(models, args)
+        return calculate_shapemodel(models.deca, imgs, align_fn=align,
+                                    image_size=args.deca_image_size)
+
+    def shape(imgs):
+        return _shape(models_arrays, imgs)
+
+    return shape

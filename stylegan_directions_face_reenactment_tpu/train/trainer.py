@@ -393,9 +393,46 @@ class Trainer:
                 global_step += 1
         return a_params
 
+    # ---- GT shape-coefficient cache (paired method) -------------------
+    def _gt_shape_for_batch(self, shape_fn, cache: Dict[str, Any], batch):
+        """Assemble the batch's source/target DECA coefficients from the
+        host-side per-frame cache. Dataset frames are fixed, so their
+        (stop-gradient) coefficients are training invariants — the
+        reference recomputes them every step (`trainer.py:361-365`). On
+        any miss the whole [source;target] stack runs through ONE
+        fixed-shape fill program (first-epoch behavior); hits thereafter
+        cost only a host stack (~1 KB/frame cached)."""
+        keys = list(batch["source_path"]) + list(batch["target_path"])
+        if any(k not in cache for k in keys):
+            imgs = np.concatenate([np.asarray(batch["source_img"]),
+                                   np.asarray(batch["target_img"])], axis=0)
+            params, angles = shape_fn(jnp.asarray(imgs))
+            params = {n: np.asarray(v) for n, v in params.items()}
+            angles = np.asarray(angles)
+            for i, k in enumerate(keys):
+                cache[k] = ({n: v[i] for n, v in params.items()}, angles[i])
+
+        def stack(ks):
+            entries = [cache[k] for k in ks]
+            pd = {n: np.stack([e[0][n] for e in entries])
+                  for n in entries[0][0]}
+            an = np.stack([e[1] for e in entries])
+            return ({n: self._batch(v) for n, v in pd.items()},
+                    self._batch(an))
+
+        p_src, a_src = stack(batch["source_path"])
+        p_tgt, a_tgt = stack(batch["target_path"])
+        return p_src, a_src, p_tgt, a_tgt
+
     def train_paired(self, rng: Optional[jax.Array] = None,
                      n_epochs: Optional[int] = None) -> Params:
-        """Paired method — the primary one (`trainer.py:312-405`)."""
+        """Paired method — the primary one (`trainer.py:312-405`).
+
+        With ``args.cache_gt_shape`` (default) the fixed dataset frames'
+        DECA coefficients are computed once and memoized; the jitted step
+        then runs only the shifted image's alignment+encode pass (the one
+        under grad). Identical math, two of three shape passes and the
+        source-image upload dropped (see `steps.make_paired_step`)."""
         args = self.args
         if args.train_dataset_path is None:
             raise ValueError("train_dataset_path required for method 'paired'")
@@ -404,10 +441,13 @@ class Trainer:
         rng, k_init = jax.random.split(rng)
         start_step, a_params = self._init_a(k_init)
         a_params = self._rep(a_params)
-        from .steps import split_a
+        from .steps import make_shape_program, split_a
         opt_state = self.tx.init(split_a(a_params)[0])
+        use_cache = bool(getattr(args, "cache_gt_shape", True))
         step_fn = make_paired_step(self.models, self.spec, args, self.tx,
-                                   mesh=self.mesh)
+                                   mesh=self.mesh, cached_shape=use_cache)
+        shape_fn = make_shape_program(self.models, args) if use_cache else None
+        shape_cache: Dict[str, Any] = {}
 
         dataset = CustomDatasetPaired(args.train_dataset_path, max_pairs=2,
                                       image_size=args.image_resolution)
@@ -422,12 +462,22 @@ class Trainer:
                             drop_last=True, seed=epoch)
             for batch in loader:
                 rng, k = jax.random.split(rng)
-                a_params, opt_state, loss_dict = step_fn(
-                    a_params, opt_state, k,
-                    self._batch(batch["source_latent_code"]),
-                    self._batch(batch["source_img"]),
-                    self._batch(batch["target_latent_code"]),
-                    self._batch(batch["target_img"]))
+                if use_cache:
+                    p_src, a_src, p_tgt, a_tgt = self._gt_shape_for_batch(
+                        shape_fn, shape_cache, batch)
+                    a_params, opt_state, loss_dict = step_fn(
+                        a_params, opt_state, k,
+                        self._batch(batch["source_latent_code"]),
+                        self._batch(batch["target_latent_code"]),
+                        self._batch(batch["target_img"]),
+                        p_src, a_src, p_tgt, a_tgt)
+                else:
+                    a_params, opt_state, loss_dict = step_fn(
+                        a_params, opt_state, k,
+                        self._batch(batch["source_latent_code"]),
+                        self._batch(batch["source_img"]),
+                        self._batch(batch["target_latent_code"]),
+                        self._batch(batch["target_img"]))
                 losses.append(float(loss_dict["loss"]))
                 self._log(global_step, loss_dict, float(np.mean(losses)), epoch)
                 if global_step % 500 == 0 and global_step > 0:
