@@ -85,6 +85,8 @@ class CustomDataset:
             "inv_img": load_image_gan_range(self.inv_images[index],
                                             self.image_size),
             "w": code,
+            # frame identity for the Trainer's GT shape-coefficient cache
+            "path": str(self.real_images[index]),
         }
 
 

@@ -275,19 +275,25 @@ def make_synthetic_step(models: FrozenModels, spec: DirectionsSpec,
 def make_real_step(models: FrozenModels, spec: DirectionsSpec,
                    args: TrainingArguments,
                    tx: optax.GradientTransformation,
-                   synthetic_half: bool = False, mesh=None) -> Callable:
+                   synthetic_half: bool = False, mesh=None,
+                   cached_shape: bool = False) -> Callable:
     """`Trainer.train_real()` step (`trainer.py:247-308`): source = real
     inverted W+ codes (+ optional synthetic half for 'real_synthetic'),
-    target = random z."""
+    target = random z.
+
+    ``cached_shape=True``: the real source frames' DECA coefficients ride
+    in as step inputs (Trainer memoizes them — they are training
+    invariants; see `make_paired_step`). The synthetic half (if any) and
+    the z-sampled target still compute their passes in-step."""
     lambdas = _lambdas(args)
     models_arrays, models_statics = strip_statics(models)
     n_lat = n_latent_for(args.image_resolution)
     constrain = _batch_constrainer(mesh)
 
-    @jax.jit
-    def _step(trainable: Params, opt_state, rng: jax.Array,
-              models_arrays: FrozenModels,
-              source_w: jnp.ndarray, source_real_img: jnp.ndarray):
+    def _step_body(trainable: Params, opt_state, rng: jax.Array,
+                   models_arrays: FrozenModels,
+                   source_w: jnp.ndarray, source_real_img: jnp.ndarray,
+                   cached_src=None):
         models = merge_statics(models_arrays, models_statics)
         align = make_align_fn(models, args)
 
@@ -310,8 +316,18 @@ def make_real_step(models: FrozenModels, spec: DirectionsSpec,
             source_real_img = jnp.concatenate([source_real_img, imgs_syn],
                                               axis=0)
 
-        params_source, angles_source = jax.lax.stop_gradient(
-            shapemodel(source_real_img))
+        if cached_src is None:
+            params_source, angles_source = jax.lax.stop_gradient(
+                shapemodel(source_real_img))
+        elif synthetic_half:
+            # real half from the cache; synthetic half computed in-step
+            p_real, ang_real = cached_src
+            p_syn, ang_syn = jax.lax.stop_gradient(shapemodel(imgs_syn))
+            params_source = {k: jnp.concatenate([p_real[k], p_syn[k]], axis=0)
+                             for k in p_real}
+            angles_source = jnp.concatenate([ang_real, ang_syn], axis=0)
+        else:
+            params_source, angles_source = cached_src
 
         z_tgt = constrain(jax.random.normal(k_tgt,
                                             (args.batch_size, args.dim_z)))
@@ -346,6 +362,19 @@ def make_real_step(models: FrozenModels, spec: DirectionsSpec,
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss_dict
+
+    if cached_shape:
+        @jax.jit
+        def _step(trainable, opt_state, rng, models_arrays,
+                  source_w, source_real_img, p_src, ang_src):
+            return _step_body(trainable, opt_state, rng, models_arrays,
+                              source_w, source_real_img, (p_src, ang_src))
+    else:
+        @jax.jit
+        def _step(trainable, opt_state, rng, models_arrays,
+                  source_w, source_real_img):
+            return _step_body(trainable, opt_state, rng, models_arrays,
+                              source_w, source_real_img)
 
     def step(a_params: Params, opt_state, rng, *extra):
         trainable, rebuild = split_a(a_params)

@@ -366,8 +366,14 @@ class Trainer:
 
         synthetic_half = args.training_method == "real_synthetic"
         batch_local = args.batch_size // 2 if synthetic_half else args.batch_size
+        use_cache = bool(getattr(args, "cache_gt_shape", True))
         step_fn = make_real_step(self.models, self.spec, args, self.tx,
-                                 synthetic_half=synthetic_half, mesh=self.mesh)
+                                 synthetic_half=synthetic_half, mesh=self.mesh,
+                                 cached_shape=use_cache)
+        if use_cache:
+            from .steps import make_shape_program
+            shape_fn = make_shape_program(self.models, args)
+            shape_cache: Dict[str, Any] = {}
 
         dataset = CustomDataset(args.train_dataset_path,
                                 image_size=args.image_resolution)
@@ -381,9 +387,16 @@ class Trainer:
         for epoch in range(epochs):
             for batch in loader:
                 rng, k = jax.random.split(rng)
-                a_params, opt_state, loss_dict = step_fn(
-                    a_params, opt_state, k, self._batch(batch["w"]),
-                    self._batch(batch["real_img"]))
+                if use_cache:
+                    p_src, ang_src = self._gt_shape_for_real_batch(
+                        shape_fn, shape_cache, batch)
+                    a_params, opt_state, loss_dict = step_fn(
+                        a_params, opt_state, k, self._batch(batch["w"]),
+                        self._batch(batch["real_img"]), p_src, ang_src)
+                else:
+                    a_params, opt_state, loss_dict = step_fn(
+                        a_params, opt_state, k, self._batch(batch["w"]),
+                        self._batch(batch["real_img"]))
                 losses.append(float(loss_dict["loss"]))
                 self._log(global_step, loss_dict, float(np.mean(losses)), epoch)
                 if global_step % 500 == 0 and global_step > 0:
@@ -406,23 +419,33 @@ class Trainer:
         if any(k not in cache for k in keys):
             imgs = np.concatenate([np.asarray(batch["source_img"]),
                                    np.asarray(batch["target_img"])], axis=0)
-            params, angles = shape_fn(jnp.asarray(imgs))
-            params = {n: np.asarray(v) for n, v in params.items()}
-            angles = np.asarray(angles)
-            for i, k in enumerate(keys):
-                cache[k] = ({n: v[i] for n, v in params.items()}, angles[i])
-
-        def stack(ks):
-            entries = [cache[k] for k in ks]
-            pd = {n: np.stack([e[0][n] for e in entries])
-                  for n in entries[0][0]}
-            an = np.stack([e[1] for e in entries])
-            return ({n: self._batch(v) for n, v in pd.items()},
-                    self._batch(an))
-
-        p_src, a_src = stack(batch["source_path"])
-        p_tgt, a_tgt = stack(batch["target_path"])
+            self._gt_shape_fill(shape_fn, cache, keys, imgs)
+        p_src, a_src = self._gt_shape_stack(cache, batch["source_path"])
+        p_tgt, a_tgt = self._gt_shape_stack(cache, batch["target_path"])
         return p_src, a_src, p_tgt, a_tgt
+
+    @staticmethod
+    def _gt_shape_fill(shape_fn, cache, keys, imgs):
+        params, angles = shape_fn(jnp.asarray(imgs))
+        params = {n: np.asarray(v) for n, v in params.items()}
+        angles = np.asarray(angles)
+        for i, k in enumerate(keys):
+            cache[k] = ({n: v[i] for n, v in params.items()}, angles[i])
+
+    def _gt_shape_stack(self, cache, keys):
+        entries = [cache[k] for k in keys]
+        pd = {n: np.stack([e[0][n] for e in entries]) for n in entries[0][0]}
+        an = np.stack([e[1] for e in entries])
+        return ({n: self._batch(v) for n, v in pd.items()}, self._batch(an))
+
+    def _gt_shape_for_real_batch(self, shape_fn, cache, batch):
+        """Single-sided variant for the real/real_synthetic methods: only
+        the real source frames are fixed (targets are z-sampled in-step)."""
+        keys = list(batch["path"])
+        if any(k not in cache for k in keys):
+            self._gt_shape_fill(shape_fn, cache, keys,
+                                np.asarray(batch["real_img"]))
+        return self._gt_shape_stack(cache, keys)
 
     def train_paired(self, rng: Optional[jax.Array] = None,
                      n_epochs: Optional[int] = None) -> Params:

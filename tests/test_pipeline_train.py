@@ -246,6 +246,61 @@ def test_paired_step_cached_shape_matches(world):
         drift, 1e-6)
 
 
+@pytest.mark.slow
+def test_real_step_cached_shape_matches(world):
+    """Cached-shape real step: the real source frames' coefficients ride
+    in as inputs; the z-target pass still runs in-step. Loss must match
+    the recompute variant; the synthetic_half (real_synthetic) variant
+    must concat cached real + in-step synthetic halves correctly."""
+    from stylegan_directions_face_reenactment_tpu.train.steps import (
+        make_real_step, make_shape_program)
+    args = TrainingArguments(batch_size=2, image_resolution=SIZE,
+                             training_method="real")
+    models = FrozenModels(world["g"], world["deca"], world["idb"],
+                          world["lp"], world["trunc"])
+    tx = make_optimizer(args)
+    shape = make_shape_program(models, args)
+    a0 = world["a"]
+    opt_state = tx.init(split_a(a0)[0])
+    n_lat = n_latent_for(SIZE)
+    k = jax.random.PRNGKey(6)
+
+    src_w = jax.random.normal(jax.random.PRNGKey(2), (2, n_lat, 512))
+    src_im = jax.random.uniform(jax.random.PRNGKey(4), (2, SIZE, SIZE, 3),
+                                minval=-1, maxval=1)
+    p_src, ang_src = shape(src_im)
+
+    step_u = make_real_step(models, world["spec"], args, tx)
+    step_c = make_real_step(models, world["spec"], args, tx,
+                            cached_shape=True)
+    _, _, ldu = step_u(a0, opt_state, k, src_w, src_im)
+    _, _, ldc = step_c(a0, opt_state, k, src_w, src_im, p_src, ang_src)
+    # standalone-vs-fused compile reassociation: ~1e-4..1e-3 relative
+    np.testing.assert_allclose(float(ldc["loss"]), float(ldu["loss"]),
+                               rtol=2e-3)
+    # wiring sensitivity: garbage coefficients must move the loss far
+    # beyond compile drift
+    p_bad = {n: v + 1.0 for n, v in p_src.items()}
+    _, _, ld_bad = step_c(a0, opt_state, k, src_w, src_im, p_bad, ang_src)
+    drift = abs(float(ldc["loss"]) - float(ldu["loss"]))
+    assert abs(float(ld_bad["loss"]) - float(ldu["loss"])) > 50 * max(
+        drift, 1e-6)
+
+    # real_synthetic: half-batch real inputs, synthetic half in-step
+    args_h = TrainingArguments(batch_size=2, image_resolution=SIZE,
+                               training_method="real_synthetic")
+    half_w, half_im = src_w[:1], src_im[:1]
+    p_h = {n: v[:1] for n, v in p_src.items()}
+    step_hu = make_real_step(models, world["spec"], args_h, tx,
+                             synthetic_half=True)
+    step_hc = make_real_step(models, world["spec"], args_h, tx,
+                             synthetic_half=True, cached_shape=True)
+    _, _, ldhu = step_hu(a0, opt_state, k, half_w, half_im)
+    _, _, ldhc = step_hc(a0, opt_state, k, half_w, half_im, p_h, ang_src[:1])
+    np.testing.assert_allclose(float(ldhc["loss"]), float(ldhu["loss"]),
+                               rtol=2e-3)
+
+
 def test_gt_shape_cache_fill_and_hit():
     """Host cache logic (`Trainer._gt_shape_for_batch`): one fill program
     per missing batch, pure host stacking on hits, stable values."""

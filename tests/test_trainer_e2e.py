@@ -83,6 +83,24 @@ def test_trainer_paired_epoch(tmp_path, models):
     assert np.isfinite(np.asarray(a["weight"])).all()
 
 
+def test_trainer_real_epoch(tmp_path, models):
+    """Real method end to end on the fabricated tree — first coverage of
+    `Trainer.train_real` (incl. the GT source-coefficient cache path,
+    default on)."""
+    data = tmp_path / "data"
+    _make_voxceleb_tree(str(data))
+    args = TrainingArguments(batch_size=2, image_resolution=SIZE,
+                             training_method="real",
+                             experiment_path=str(tmp_path / "exp"),
+                             train_dataset_path=str(data),
+                             steps_per_log=1, evaluation=False)
+    tr = Trainer(args, models, log_fn=lambda s: None)
+    a = tr.train_real(jax.random.PRNGKey(0), n_epochs=1)
+    assert np.isfinite(np.asarray(a["weight"])).all()
+    log = (tmp_path / "exp" / "logs" / "train_log.jsonl").read_text()
+    assert len(log.strip().splitlines()) >= 1
+
+
 def test_trainer_evaluate_synthetic(tmp_path, models):
     args = TrainingArguments(batch_size=2, test_batch_size=2,
                              image_resolution=SIZE,

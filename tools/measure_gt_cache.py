@@ -112,6 +112,19 @@ def main():
     out["speedup"] = round(dt_u / dt_c, 2)
     out["loss_rel_diff_last"] = float(abs(loss_u - loss_c)
                                       / max(abs(loss_u), 1e-9))
+
+    # real method: one of its three alignment+encode passes is cacheable
+    from stylegan_directions_face_reenactment_tpu.train.steps import (
+        make_real_step)
+    step_ru = make_real_step(models, spec, args, tx)
+    dt_ru, loss_ru = timed(step_ru, src_w, src_img)
+    step_rc = make_real_step(models, spec, args, tx, cached_shape=True)
+    dt_rc, loss_rc = timed(step_rc, src_w, src_img, p_src, ang_src)
+    out["real_uncached"] = {"ms_per_step": round(dt_ru * 1e3, 1),
+                            "imgs_per_s": round(batch / dt_ru, 1)}
+    out["real_cached"] = {"ms_per_step": round(dt_rc * 1e3, 1),
+                          "imgs_per_s": round(batch / dt_rc, 1)}
+    out["real_speedup"] = round(dt_ru / dt_rc, 2)
     print(json.dumps(out, indent=2))
 
 
