@@ -221,8 +221,55 @@ def main():
 
     dt_full_host = full_path_host_stream()
 
+    # ---- paired training step (informational; steady-state GT-coefficient
+    # cache, `--cache_gt_shape` default): batch 12 @256, SFD-faithful
+    # alignment, grads through FLAME→ResNet50→G→A --------------------------
+    train_imgs_per_s = None
+    if os.environ.get("REENACT_BENCH_TRAIN", "1") != "0":
+        try:
+            from stylegan_directions_face_reenactment_tpu.configs.arguments import (
+                TrainingArguments)
+            from stylegan_directions_face_reenactment_tpu.losses.lpips import (
+                init_lpips_alex)
+            from stylegan_directions_face_reenactment_tpu.models.irse import (
+                init_backbone)
+            from stylegan_directions_face_reenactment_tpu.train.steps import (
+                FrozenModels, make_optimizer, make_paired_step,
+                make_shape_program)
+            idb = jit_build(init_backbone, jax.random.fold_in(key, 20))
+            lp = jit_build(init_lpips_alex, jax.random.fold_in(key, 21))
+            models = FrozenModels(g, deca, idb, lp, trunc, fan, sfd)
+            targs = TrainingArguments(batch_size=12, deca_alignment="fan")
+            tx = make_optimizer(targs)
+            step = make_paired_step(models, spec, targs, tx,
+                                    cached_shape=True)
+            shape_prog = make_shape_program(models, targs)
+            opt_state = tx.init({k: v for k, v in a.items() if k != "meta"})
+            kk = jax.random.split(jax.random.fold_in(key, 22), 4)
+            tw = jax.random.normal(kk[0], (12, n_latent_for(size), 512))
+            sw = jax.random.normal(kk[1], (12, n_latent_for(size), 512))
+            s_img = jax.random.uniform(kk[2], (12, 256, 256, 3),
+                                       minval=-1.0, maxval=1.0)
+            t_img = jax.random.uniform(kk[3], (12, 256, 256, 3),
+                                       minval=-1.0, maxval=1.0)
+            p_s, ang_s = shape_prog(s_img)
+            p_t, ang_t = shape_prog(t_img)
+            a_tr, o_tr, ld = step(a, opt_state, kk[0], sw, tw, t_img,
+                                  p_s, ang_s, p_t, ang_t)
+            jax.block_until_ready(ld["loss"])
+            n_tr = 8
+            t0 = time.perf_counter()
+            a_tr, o_tr = a, opt_state
+            for i in range(n_tr):
+                a_tr, o_tr, ld = step(a_tr, o_tr, kk[1], sw, tw, t_img,
+                                      p_s, ang_s, p_t, ang_t)
+            jax.block_until_ready(a_tr["weight"])
+            train_imgs_per_s = 12 * n_tr / (time.perf_counter() - t0)
+        except Exception:
+            train_imgs_per_s = None  # informational only; never sink bench
+
     fps = batch / dt_fan
-    print(json.dumps({
+    result = {
         "metric": "reenact_fps_256",
         "value": round(float(fps), 1),
         "unit": "frames/s/chip",
@@ -231,7 +278,10 @@ def main():
         "resize_fps": round(batch / dt_resize, 1),
         "full_path_fps": round(batch / dt_full, 1),
         "full_path_host_crop_fps": round(batch / dt_full_host, 1),
-    }))
+    }
+    if train_imgs_per_s is not None:
+        result["train_paired_imgs_per_s"] = round(train_imgs_per_s, 1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
