@@ -98,8 +98,8 @@ def main(argv=None):
     from ..geometry import initialize_directions
     from ..losses.id_loss import extract_id_feats
     from ..models.deca import calculate_shapemodel
-    from ..pipeline import invert_image, make_reenact_fn, optimize_g, \
-        preprocess_images, source_shape
+    from ..models.nn import resize_bilinear
+    from ..pipeline import make_prep_fn, make_reenact_fn, setup_source
     from ..pipeline.reenactment import align_for
     from ..train.eval import expression_error, pose_error
     from ..train.steps import merge_statics, strip_statics
@@ -126,17 +126,11 @@ def main(argv=None):
     sfd_deca = sfd if args.deca_alignment == "fan" else None
     spec = initialize_directions(args.dataset_type, 15, 6.0)
     trunc = compute_trunc(g)
-    size = g["meta"]["size"]
 
-    def prep(frames):
-        if args.skip_preprocess:
-            from ..native.imgproc import resize_bilinear_u8
-            batch = resize_bilinear_u8(np.stack(frames).astype(np.uint8),
-                                       (size, size))
-            return batch.astype(np.float32) / 127.5 - 1.0, \
-                np.ones(len(frames), bool)
-        return preprocess_images(sfd, fan, frames, image_size=size,
-                                 device_crop=args.device_crop)
+    # the FFHQ crop is 256 regardless of the generator's size (see
+    # pipeline/source_setup.py); only synthesis emits g.meta.size
+    prep = make_prep_fn(sfd, fan, skip_preprocess=args.skip_preprocess,
+                        device_crop=args.device_crop)
 
     # --- frames -----------------------------------------------------------
     frames = _load_target_frames(args.target_path, args.video_stride)
@@ -145,37 +139,36 @@ def main(argv=None):
     self_reenactment = args.source_path is None
     src_raw = [frames[0]] if self_reenactment else [load_image(args.source_path)]
 
-    src_batch, ok = prep(src_raw)
-    if not ok[0]:
-        raise RuntimeError("no face detected in the source image")
-    source_img = jnp.asarray(src_batch[:1])
-    _, source_code = invert_image(source_img, e4e, g, truncation=0.7,
-                                  truncation_latent=trunc)
-    if args.optimize_generator:
-        lp = load_lpips(random_init=args.random_init)
-        g_src, _ = optimize_g(g, source_code, source_img, lp, trunc,
-                              opt_steps=200, lr=3e-3)
-    else:
-        g_src = g
-    params_source, angles_source = source_shape(deca, source_img,
-                                                fan_params=fan_deca,
-                                                s3fd_params=sfd_deca)
+    lp = (load_lpips(random_init=args.random_init)
+          if args.optimize_generator else None)
+    (source_img, source_code, g_src, params_source,
+     angles_source) = setup_source(
+        g, e4e, deca, src_raw, prep, truncation_latent=trunc,
+        optimize_generator=args.optimize_generator, lpips_params=lp,
+        fan_params=fan_deca, s3fd_params=sfd_deca)
 
+    # return_target_params: the reenact program computes the target
+    # coefficients anyway — reusing them here saves the metric loop a
+    # whole second alignment+encode pass per chunk
     reenact = make_reenact_fn(g_src, a, deca, spec, truncation=0.7,
                               truncation_latent=trunc, fan_params=fan_deca,
-                              s3fd_params=sfd_deca)
+                              s3fd_params=sfd_deca,
+                              return_target_params=True)
 
     # --- per-frame metric program (`utils_train.py:695-732`) --------------
     mweights, mstatics = strip_statics((deca, idb, fan_deca, sfd_deca))
 
     @jax.jit
-    def _metrics(mweights, reenacted, targets, source):
+    def _metrics(mweights, reenacted, p_t, a_t, source):
         deca_p, idb_p, fan_p, sfd_p = merge_statics(mweights, mstatics)
         align = align_for(fan_p, sfd_p)
         p_s, a_s = calculate_shapemodel(deca_p, reenacted, align_fn=align)
-        p_t, a_t = calculate_shapemodel(deca_p, targets, align_fn=align)
+        # ArcFace's fixed face crop (x[:, 35:223, 32:220]) is defined on
+        # 256 images; high-res generators compare at the crop resolution
+        re256 = (reenacted if reenacted.shape[1] == source.shape[1]
+                 else resize_bilinear(reenacted, source.shape[1:3]))
         f_src = extract_id_feats(idb_p, source)
-        f_re = extract_id_feats(idb_p, reenacted)
+        f_re = extract_id_feats(idb_p, re256)
         csim_pf = jnp.sum(f_src * f_re, axis=-1)       # per-frame cosine
         return (csim_pf, pose_error(a_s, a_t),
                 expression_error(spec, p_s, p_t))
@@ -188,9 +181,9 @@ def main(argv=None):
         pad = bi - len(chunk)
         tgt = np.concatenate([tgt_batch] + [tgt_batch[-1:]] * pad) \
             if pad else tgt_batch
-        c, p, e = _metrics(mweights, *reenact(
-            source_code, params_source, angles_source,
-            jnp.asarray(tgt))[:1], jnp.asarray(tgt), source_img)
+        reenacted, _, p_t, a_t = reenact(source_code, params_source,
+                                         angles_source, jnp.asarray(tgt))
+        c, p, e = _metrics(mweights, reenacted, p_t, a_t, source_img)
         keep = np.asarray(ok)    # drop frames with no detected face
         csims.append(np.asarray(c)[:len(chunk)][keep])
         poses.append(np.asarray(p)[:len(chunk)][keep])

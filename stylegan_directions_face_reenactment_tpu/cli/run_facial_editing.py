@@ -58,8 +58,7 @@ def main(argv=None):
     import jax.numpy as jnp
     from ..geometry import initialize_directions
     from ..models.stylegan2 import mapping, n_latent_for
-    from ..pipeline import (invert_image, optimize_g, preprocess_images,
-                            sweep_direction)
+    from ..pipeline import invert_image, optimize_g, sweep_direction
     from ..models.deca import calculate_shapemodel
     from ..utils.image_utils import load_image, save_image, tensor_to_image
     from ..utils.visualization import save_gif
@@ -99,20 +98,18 @@ def main(argv=None):
     else:
         e4e = load_e4e(args.dataset_type, random_init=args.random_init,
                        resolution=args.image_resolution)
-        if args.skip_preprocess:
-            from ..native.imgproc import resize_bilinear_u8
-            from ..pipeline.preprocess import to_gan_range
-            im = resize_bilinear_u8(
-                load_image(args.source_path)[None].astype(np.uint8),
-                (size, size))
-            source_img = jnp.asarray(to_gan_range(im))
-        else:
+        # crop/invert at 256 regardless of the generator's size (see
+        # pipeline/source_setup.py — e4e consumes the 256 FFHQ crop)
+        from ..pipeline import make_prep_fn
+        if not args.skip_preprocess:
             sfd, fan = load_face_models(random_init=args.random_init)
-            batch, ok = preprocess_images(sfd, fan,
-                                          [load_image(args.source_path)])
-            if not ok[0]:
-                raise RuntimeError("no face detected in source image")
-            source_img = jnp.asarray(batch[:1])
+        else:
+            sfd = fan = None
+        prep = make_prep_fn(sfd, fan, skip_preprocess=args.skip_preprocess)
+        batch, ok = prep([load_image(args.source_path)])
+        if not ok[0]:
+            raise RuntimeError("no face detected in source image")
+        source_img = jnp.asarray(batch[:1])
         _, source_code = invert_image(source_img, e4e, g, truncation=0.7,
                                       truncation_latent=trunc)
         if args.optimize_generator:

@@ -97,8 +97,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from ..geometry import initialize_directions
-    from ..pipeline import (invert_image, make_reenact_fn, optimize_g,
-                            preprocess_images, source_shape)
+    from ..pipeline import make_reenact_fn
     from ..utils.image_utils import (generate_grid_image, load_image,
                                      save_image)
     from .model_loading import (compute_trunc, load_deca,
@@ -120,17 +119,13 @@ def main(argv=None):
     sfd_deca = sfd if args.deca_alignment == "fan" else None
     spec = initialize_directions(args.dataset_type, 15, 6.0)
     trunc = compute_trunc(g)
-    size = g["meta"]["size"]
 
-    def prep(frames):
-        if args.skip_preprocess:
-            from ..native.imgproc import resize_bilinear_u8
-            batch = resize_bilinear_u8(np.stack(frames).astype(np.uint8),
-                                       (size, size))
-            return batch.astype(np.float32) / 127.5 - 1.0, \
-                np.ones(len(frames), bool)
-        return preprocess_images(sfd, fan, frames, image_size=size,
-                                 device_crop=args.device_crop)
+    # the FFHQ crop is 256 regardless of the generator's size — e4e /
+    # ArcFace / DECA consume the 256 crop; only synthesis emits
+    # g.meta.size (`ffhq_cropping.py:50`; see pipeline/source_setup.py)
+    from ..pipeline import make_prep_fn, setup_source
+    prep = make_prep_fn(sfd, fan, skip_preprocess=args.skip_preprocess,
+                        device_crop=args.device_crop)
 
     # --- source -----------------------------------------------------------
     ext = args.source_path.rsplit(".", 1)[-1].lower()
@@ -139,23 +134,13 @@ def main(argv=None):
         src_raw = [extract_frames(args.source_path, get_only_first=True)[0]]
     else:
         src_raw = [load_image(args.source_path)]
-    src_batch, ok = prep(src_raw)
-    if not ok[0]:
-        raise RuntimeError("no face detected in the source image")
-    source_img = jnp.asarray(src_batch[:1])
-    _, source_code = invert_image(source_img, e4e, g, truncation=0.7,
-                                  truncation_latent=trunc)
-
-    if args.optimize_generator:
-        lp = load_lpips(random_init=args.random_init)
-        g_src, _ = optimize_g(g, source_code, source_img, lp, trunc,
-                              opt_steps=200, lr=3e-3)
-    else:
-        g_src = g
-
-    params_source, angles_source = source_shape(deca, source_img,
-                                                fan_params=fan_deca,
-                                                s3fd_params=sfd_deca)
+    lp = (load_lpips(random_init=args.random_init)
+          if args.optimize_generator else None)
+    (source_img, source_code, g_src, params_source,
+     angles_source) = setup_source(
+        g, e4e, deca, src_raw, prep, truncation_latent=trunc,
+        optimize_generator=args.optimize_generator, lpips_params=lp,
+        fan_params=fan_deca, s3fd_params=sfd_deca)
 
     # --- targets, batched -------------------------------------------------
     frames = _load_target_frames(args.target_path, args.video_stride)

@@ -39,7 +39,6 @@ Everything is channel-last (NHWC) like the rest of the package.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -69,9 +69,13 @@ def preprocess_images(s3fd_params: Params, fan_params: Params,
 
     Device part (detection + landmarks) is batched per unique input
     resolution. The FFHQ crop runs host-side by default (native threaded
-    batch crop, PIL-exact box semantics); ``device_crop=True`` keeps
+    batch crop, PIL-exact box semantics); ``device_crop=True`` COMPUTES
     in-frame crops on device (fused cubic resample, ≲1 LSB mean deviation)
     and only routes out-of-frame boxes through the host pad+fade path.
+    Note this function always returns host numpy (its list-of-frames
+    contract), so device_crop saves the host crop WORK but not the
+    device↔host transfer; the zero-round-trip variant is
+    `preprocess_batch_device` (used fused into the bench/serving path).
     """
     resized = [resize_max_side(im) for im in images]
 

@@ -76,6 +76,13 @@ def optimize_g(g_params: Params, latent: jnp.ndarray, real_imgs: jnp.ndarray,
                                   truncation_latent=truncation_latent,
                                   input_is_latent=True,
                                   compute_dtype=compute_dtype)
+            if imgs.shape[1] != real_imgs.shape[1]:
+                # generate_image pools >256 outputs to 256 like the
+                # reference (`generic.py:148-151`), so production shapes
+                # always match the 256 pivot crop; this branch covers
+                # sub-256 (test-scale) generators
+                from ..models.nn import resize_bilinear
+                imgs = resize_bilinear(imgs, real_imgs.shape[1:3])
             total, l2v, lp = pti_loss(lpips_p, imgs, real_imgs,
                                       pt_l2_lambda=pt_l2_lambda)
             return total, (l2v, lp)

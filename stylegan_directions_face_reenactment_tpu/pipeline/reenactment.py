@@ -25,11 +25,15 @@ Params = Dict[str, Any]
 
 def align_for(fan_params: Optional[Params], s3fd_params: Optional[Params] = None,
               compute_dtype=None):
+    """return_ok=True: `calculate_shapemodel` replicates the reference's
+    detection-failure sentinel — zeroed coefficients + −180° angles
+    (`estimate_DECA.py:33-51`; face_alignment returns None → bbox_type
+    'error'). Only the SFD path can fail; 'fan_frame' is always ok."""
     if fan_params is None:
         return None
     from .alignment import make_fan_align
     return make_fan_align(fan_params, s3fd_params=s3fd_params,
-                          compute_dtype=compute_dtype)
+                          compute_dtype=compute_dtype, return_ok=True)
 
 
 def source_shape(deca_params: Params, source_img: jnp.ndarray,
@@ -55,15 +59,19 @@ def reenact_batch(g_params: Params, a_params: Params, deca_params: Params,
                   num_layers_shift: int = 8,
                   compute_dtype=jnp.float32,
                   fan_params: Optional[Params] = None,
-                  s3fd_params: Optional[Params] = None
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  s3fd_params: Optional[Params] = None,
+                  return_target_params: bool = False
+                  ) -> Tuple[jnp.ndarray, ...]:
     """Reenact a batch of target frames onto one source identity.
 
     source_code: (1, n_latent, 512) W+ of the source;
     params_source/angles_source: DECA outputs for the source (batch 1);
     target_imgs: (T, 256, 256, 3) in [-1, 1].
 
-    Returns (reenacted (T, 256, 256, 3), shifted latents (T, n_latent, 512)).
+    Returns (reenacted (T, 256, 256, 3), shifted latents (T, n_latent, 512));
+    with ``return_target_params``, also (params_target, angles_target) — the
+    target coefficients this function computes anyway, so metric consumers
+    (the parity harness) don't pay a second alignment+encode pass.
     The whole function jits into a single XLA program
     (cf. reference per-frame loop `run_inference.py:170-195`).
     """
@@ -92,6 +100,8 @@ def reenact_batch(g_params: Params, a_params: Params, deca_params: Params,
         num_layers_shift=num_layers_shift, shift_code=shift,
         input_is_latent=True, return_latents=True,
         compute_dtype=compute_dtype)
+    if return_target_params:
+        return reenacted, shifted_latents, params_target, angles_target
     return reenacted, shifted_latents
 
 
@@ -100,7 +110,8 @@ def make_reenact_fn(g_params: Params, a_params: Params, deca_params: Params,
                     truncation_latent: Optional[jnp.ndarray] = None,
                     num_layers_shift: int = 8, compute_dtype=jnp.float32,
                     fan_params: Optional[Params] = None,
-                    s3fd_params: Optional[Params] = None, mesh=None):
+                    s3fd_params: Optional[Params] = None, mesh=None,
+                    return_target_params: bool = False):
     """Jitted reenactor: (source_code, params_source, angles_source,
     target_imgs) → (reenacted, latents). ``fan_params`` enables the
     reference's FAN-warp DECA alignment on the target frames;
@@ -132,7 +143,8 @@ def make_reenact_fn(g_params: Params, a_params: Params, deca_params: Params,
             params_source, angles_source, target_imgs,
             truncation=truncation, truncation_latent=trunc,
             num_layers_shift=num_layers_shift, compute_dtype=compute_dtype,
-            fan_params=fan, s3fd_params=sfd)
+            fan_params=fan, s3fd_params=sfd,
+            return_target_params=return_target_params)
 
     def fn(source_code, params_source, angles_source, target_imgs):
         if place_batch is not None:

@@ -61,7 +61,11 @@ def make_align_fn(models: FrozenModels, args: TrainingArguments):
         return None
     from ..pipeline.alignment import make_fan_align
     sfd = getattr(models, "s3fd", None) if mode == "fan" else None
-    return make_fan_align(models.fan, s3fd_params=sfd)
+    # return_ok=True → calculate_shapemodel zeroes coefficients and writes
+    # the −180° sentinel on failed SFD detections, exactly like the
+    # reference's extract_DECA_params does in training AND inference
+    # (estimate_DECA.py:33-51 via generic.calculate_shapemodel)
+    return make_fan_align(models.fan, s3fd_params=sfd, return_ok=True)
 
 
 def make_optimizer(args: TrainingArguments) -> optax.GradientTransformation:

@@ -59,11 +59,22 @@ def add_border(img: np.ndarray, color=(255, 0, 0), width: int = 4) -> np.ndarray
 
 def generate_grid_image(source, target, reenacted) -> np.ndarray:
     """Row-per-sample [source | target | reenacted] grid in [-1,1]
-    (`utils_inference.py:20-33`). Returns HWC uint8."""
+    (`utils_inference.py:20-33`; it hard-codes 256 cells, so mixed sizes —
+    the 256 crops next to a 1024 reenacted frame — crash it; here every
+    cell is resized to the target's size). Returns HWC uint8."""
+    from PIL import Image
     rows = []
     source, target, reenacted = (np.asarray(source), np.asarray(target),
                                  np.asarray(reenacted))
+    cell = target.shape[1:3]
+
+    def _cell(x):
+        img = tensor_to_image(x)
+        if img.shape[:2] != cell:
+            img = np.array(Image.fromarray(img).resize(
+                (cell[1], cell[0]), Image.BILINEAR))
+        return img
+
     for s, t, r in zip(source, target, reenacted):
-        rows.append(np.concatenate([tensor_to_image(s), tensor_to_image(t),
-                                    tensor_to_image(r)], axis=1))
+        rows.append(np.concatenate([_cell(s), _cell(t), _cell(r)], axis=1))
     return np.concatenate(rows, axis=0)
