@@ -164,7 +164,9 @@ def main(argv=None):
         align = align_for(fan_p, sfd_p)
         p_s, a_s = calculate_shapemodel(deca_p, reenacted, align_fn=align)
         # ArcFace's fixed face crop (x[:, 35:223, 32:220]) is defined on
-        # 256 images; high-res generators compare at the crop resolution
+        # 256 images. Production reenacted frames ARE 256 (generate_image
+        # pools >256 outputs, `generic.py:148-151`); the resize covers
+        # sub-256 test-scale generators only
         re256 = (reenacted if reenacted.shape[1] == source.shape[1]
                  else resize_bilinear(reenacted, source.shape[1:3]))
         f_src = extract_id_feats(idb_p, source)

@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skip_preprocess", action="store_true",
                    help="source image is already an FFHQ-cropped face: "
                         "bypass detection/landmark cropping")
+    p.add_argument("--device_crop", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="on-device FFHQ crop like the other CLIs "
+                        "(--no-device_crop = PIL-exact host path)")
     p.add_argument("--deca_alignment", default="fan",
                    choices=["fan", "fan_frame", "resize"],
                    help="DECA preprocessing: 'fan' = reference SFD-crop→FAN "
@@ -98,28 +102,32 @@ def main(argv=None):
     else:
         e4e = load_e4e(args.dataset_type, random_init=args.random_init,
                        resolution=args.image_resolution)
-        # crop/invert at 256 regardless of the generator's size (see
-        # pipeline/source_setup.py — e4e consumes the 256 FFHQ crop)
-        from ..pipeline import make_prep_fn
-        if not args.skip_preprocess:
-            sfd, fan = load_face_models(random_init=args.random_init)
-        else:
+        # crop/invert at 256 regardless of the generator's size, through
+        # the shared source flow (pipeline/source_setup.py) — same block
+        # as run_inference / parity_report
+        from ..pipeline import make_prep_fn, setup_source
+        if args.skip_preprocess:
             sfd = fan = None
-        prep = make_prep_fn(sfd, fan, skip_preprocess=args.skip_preprocess)
-        batch, ok = prep([load_image(args.source_path)])
-        if not ok[0]:
-            raise RuntimeError("no face detected in source image")
-        source_img = jnp.asarray(batch[:1])
-        _, source_code = invert_image(source_img, e4e, g, truncation=0.7,
-                                      truncation_latent=trunc)
-        if args.optimize_generator:
-            lp = load_lpips(random_init=args.random_init)
-            g, _ = optimize_g(g, source_code, source_img, lp, trunc,
-                              opt_steps=200, lr=3e-3)
+        elif fan_deca is not None and sfd_deca is not None:
+            sfd, fan = sfd_deca, fan_deca     # reuse the alignment models
+        else:
+            sfd, fan = load_face_models(random_init=args.random_init)
+        prep = make_prep_fn(sfd, fan, skip_preprocess=args.skip_preprocess,
+                            device_crop=args.device_crop)
+        lp = (load_lpips(random_init=args.random_init)
+              if args.optimize_generator else None)
+        (source_img, source_code, g, params_source,
+         angles_source) = setup_source(
+            g, e4e, deca, [load_image(args.source_path)], prep,
+            truncation_latent=trunc,
+            optimize_generator=args.optimize_generator, lpips_params=lp,
+            fan_params=fan_deca, s3fd_params=sfd_deca)
 
-    from ..pipeline.reenactment import align_for
-    params_source, angles_source = calculate_shapemodel(
-        deca, source_img, align_fn=align_for(fan_deca, sfd_deca))
+    if args.source_path is None or args.source_path.endswith(".npy"):
+        from ..pipeline.reenactment import align_for
+        params_source, angles_source = calculate_shapemodel(
+            deca, source_img, align_fn=align_for(fan_deca, sfd_deca))
+
     params_np = {k: np.asarray(v) for k, v in params_source.items()}
     angles_np = np.asarray(angles_source)
 

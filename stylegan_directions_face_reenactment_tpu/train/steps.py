@@ -408,11 +408,10 @@ def make_paired_step(models: FrozenModels, spec: DirectionsSpec,
     lambdas = _lambdas(args)
     models_arrays, models_statics = strip_statics(models)
 
-    @jax.jit
-    def _step(trainable: Params, opt_state, rng: jax.Array,
-              models_arrays: FrozenModels,
-              source_w: jnp.ndarray, source_img: jnp.ndarray,
-              target_w: jnp.ndarray, target_img: jnp.ndarray):
+    def _step_body(trainable, opt_state, models_arrays, source_w, target_w,
+                   target_img, source_img=None, cached=None):
+        """Shared body; exactly one of source_img (recompute the GT
+        coefficients) or cached (take them as inputs) is set."""
         models = merge_statics(models_arrays, models_statics)
         align = make_align_fn(models, args)
 
@@ -420,10 +419,13 @@ def make_paired_step(models: FrozenModels, spec: DirectionsSpec,
             return calculate_shapemodel(models.deca, imgs, align_fn=align,
                                         image_size=args.deca_image_size)
 
-        params_source, angles_source = jax.lax.stop_gradient(
-            shapemodel(source_img))
-        params_target, angles_target = jax.lax.stop_gradient(
-            shapemodel(target_img))
+        if cached is None:
+            params_source, angles_source = jax.lax.stop_gradient(
+                shapemodel(source_img))
+            params_target, angles_target = jax.lax.stop_gradient(
+                shapemodel(target_img))
+        else:
+            params_source, angles_source, params_target, angles_target = cached
 
         shift_vector = make_shift_vector(spec, params_source, params_target,
                                          angles_source, angles_target)
@@ -448,46 +450,21 @@ def make_paired_step(models: FrozenModels, spec: DirectionsSpec,
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss_dict
 
-    @jax.jit
-    def _step_cached(trainable: Params, opt_state, rng: jax.Array,
-                     models_arrays: FrozenModels,
-                     source_w: jnp.ndarray, target_w: jnp.ndarray,
-                     target_img: jnp.ndarray,
-                     params_source: Dict[str, jnp.ndarray],
-                     angles_source: jnp.ndarray,
-                     params_target: Dict[str, jnp.ndarray],
-                     angles_target: jnp.ndarray):
-        models = merge_statics(models_arrays, models_statics)
-        align = make_align_fn(models, args)
-
-        def shapemodel(imgs):
-            return calculate_shapemodel(models.deca, imgs, align_fn=align,
-                                        image_size=args.deca_image_size)
-
-        shift_vector = make_shift_vector(spec, params_source, params_target,
-                                         angles_source, angles_target)
-
-        def loss_fn_t(a_train):
-            shift = _a_apply(a_train, shift_vector, args)
-            imgs_shifted, shifted_latents = generate_image(
-                models.generator, source_w, truncation=args.truncation,
-                truncation_latent=models.truncation_latent, shift_code=shift,
-                input_is_latent=True, return_latents=True,
-                num_layers_shift=args.num_layers_shift, w_plus=args.w_plus,
-                compute_dtype=_compute_dtype(args))
-            params_shifted, _ = shapemodel(imgs_shifted)
-            return calculate_losses_paired(
-                models.deca, models.id_backbone, models.lpips, lambdas,
-                params_shifted, params_target, imgs_shifted, target_img,
-                shifted_latents, target_w)
-
-        (loss, loss_dict), grads = jax.value_and_grad(
-            loss_fn_t, has_aux=True)(trainable)
-        updates, opt_state = tx.update(grads, opt_state, trainable)
-        trainable = optax.apply_updates(trainable, updates)
-        return trainable, opt_state, loss_dict
-
-    inner = _step_cached if cached_shape else _step
+    if cached_shape:
+        @jax.jit
+        def inner(trainable, opt_state, rng, models_arrays,
+                  source_w, target_w, target_img,
+                  params_source, angles_source, params_target, angles_target):
+            return _step_body(trainable, opt_state, models_arrays, source_w,
+                              target_w, target_img,
+                              cached=(params_source, angles_source,
+                                      params_target, angles_target))
+    else:
+        @jax.jit
+        def inner(trainable, opt_state, rng, models_arrays,
+                  source_w, source_img, target_w, target_img):
+            return _step_body(trainable, opt_state, models_arrays, source_w,
+                              target_w, target_img, source_img=source_img)
 
     def step(a_params: Params, opt_state, rng, *extra):
         trainable, rebuild = split_a(a_params)

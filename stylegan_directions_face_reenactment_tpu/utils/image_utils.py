@@ -59,9 +59,11 @@ def add_border(img: np.ndarray, color=(255, 0, 0), width: int = 4) -> np.ndarray
 
 def generate_grid_image(source, target, reenacted) -> np.ndarray:
     """Row-per-sample [source | target | reenacted] grid in [-1,1]
-    (`utils_inference.py:20-33`; it hard-codes 256 cells, so mixed sizes —
-    the 256 crops next to a 1024 reenacted frame — crash it; here every
-    cell is resized to the target's size). Returns HWC uint8."""
+    (`utils_inference.py:20-33`; it hard-codes 256 cells and crashes on
+    mixed sizes; here every cell is resized to the target's size. In
+    production all three are 256 — generate_image pools >256 outputs to
+    256 — so this only fires for sub-256 test-scale generators).
+    Returns HWC uint8."""
     from PIL import Image
     rows = []
     source, target, reenacted = (np.asarray(source), np.asarray(target),
