@@ -16,6 +16,11 @@ One JSON line, four numbers:
     upload once and nothing round-trips to the host; only out-of-frame
     boxes would take the host pad+fade fallback (none in this stream —
     real faces are overwhelmingly in-frame).
+  * "full_path_reuse_lms_fps" — the single-detection variant
+    (`--reuse_landmarks`): the preprocessing FAN landmarks, mapped into
+    crop coordinates, feed the DECA kpt68 bbox directly — no second
+    SFD+FAN pass inside the alignment (documented deviation; the
+    reference re-detects on every crop).
   * "full_path_host_crop_fps" — the same loop with the host-side native
     crop (the `--no-device_crop` CLI path), host work pipelined against
     device compute the way the CLI overlaps them.
@@ -188,6 +193,36 @@ def main():
 
     dt_full = _time_loop(full_path, iters=12)
 
+    # ---- single-detection variant (--reuse_landmarks): the prep
+    # landmarks, mapped into crop coords, feed the DECA bbox directly —
+    # no second SFD+FAN pass inside the alignment ------------------------
+    from stylegan_directions_face_reenactment_tpu.models.face.cropping import (
+        landmarks_in_crop)
+
+    fn_reuse = make_reenact_fn(g, a, deca, spec, truncation=0.7,
+                               truncation_latent=trunc,
+                               compute_dtype=compute_dtype,
+                               reuse_landmarks=True)
+
+    @jax.jit
+    def _prep_reuse(det_w, frames, lms):
+        sfd_p, fan_p = merge_statics(det_w, det_statics)
+        imgs = frames.astype(jnp.float32)
+        pts, valid, _ = estimate_landmarks(sfd_p, fan_p, imgs,
+                                           compute_dtype=compute_dtype)
+        crops, in_frame = ffhq_crop_device(imgs, lms)
+        lms_crop, _ = landmarks_in_crop(lms)
+        return crops / 127.5 - 1.0, valid, in_frame, lms_crop
+
+    def full_path_reuse():
+        crops_gan, valid, in_frame, lms_c = _prep_reuse(det_w, frames_dev,
+                                                        fake_lms_dev)
+        np.asarray(in_frame)
+        return fn_reuse(source_code, params_source, angles_source,
+                        crops_gan, lms_c, valid)[0]
+
+    dt_full_reuse = _time_loop(full_path_reuse, iters=12)
+
     def host_stage():
         """The --no-device_crop CLI `prep`: device detect+landmarks, host
         FFHQ crop (native threaded), device upload of the u8 crops."""
@@ -277,6 +312,7 @@ def main():
         "fan_frame_fps": round(batch / dt_fan_frame, 1),
         "resize_fps": round(batch / dt_resize, 1),
         "full_path_fps": round(batch / dt_full, 1),
+        "full_path_reuse_lms_fps": round(batch / dt_full_reuse, 1),
         "full_path_host_crop_fps": round(batch / dt_full_host, 1),
     }
     if train_imgs_per_s is not None:

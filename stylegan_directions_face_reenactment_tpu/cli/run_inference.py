@@ -68,6 +68,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "intensity unit vs the PIL host path; out-of-frame "
                         "boxes still take the host pad+fade path). "
                         "--no-device_crop forces the host-exact crop")
+    p.add_argument("--reuse_landmarks", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="single-detection pipeline: feed the preprocessing "
+                        "FAN landmarks (mapped into crop coordinates) to "
+                        "the DECA kpt68 bbox instead of re-running SFD+FAN "
+                        "on every crop inside the alignment (the reference "
+                        "re-detects; documented deviation — faster, bbox "
+                        "from the raw frame instead of the crop). Needs "
+                        "--deca_alignment fan/fan_frame and detection prep")
     return p
 
 
@@ -124,8 +133,13 @@ def main(argv=None):
     # ArcFace / DECA consume the 256 crop; only synthesis emits
     # g.meta.size (`ffhq_cropping.py:50`; see pipeline/source_setup.py)
     from ..pipeline import make_prep_fn, setup_source
+    if args.reuse_landmarks and (args.skip_preprocess
+                                 or args.deca_alignment == "resize"):
+        raise ValueError("--reuse_landmarks needs the detection prep and a "
+                         "bbox-based --deca_alignment (fan/fan_frame)")
     prep = make_prep_fn(sfd, fan, skip_preprocess=args.skip_preprocess,
-                        device_crop=args.device_crop)
+                        device_crop=args.device_crop,
+                        return_landmarks=args.reuse_landmarks)
 
     # --- source -----------------------------------------------------------
     ext = args.source_path.rsplit(".", 1)[-1].lower()
@@ -153,7 +167,8 @@ def main(argv=None):
             raise ValueError("--n_devices must divide --frame_batch")
     reenact = make_reenact_fn(g_src, a, deca, spec, truncation=0.7,
                               truncation_latent=trunc, fan_params=fan_deca,
-                              s3fd_params=sfd_deca, mesh=mesh)
+                              s3fd_params=sfd_deca, mesh=mesh,
+                              reuse_landmarks=args.reuse_landmarks)
 
     grids = []
     bi = args.frame_batch
@@ -164,14 +179,25 @@ def main(argv=None):
     chunks = [frames[s:s + bi] for s in range(0, len(frames), bi)]
     pool = ThreadPoolExecutor(1)
     fut = pool.submit(prep, chunks[0]) if chunks else None
+
+    def _pad(x, pad):
+        return np.concatenate([x] + [x[-1:]] * pad) if pad else x
+
     for ci, chunk in enumerate(chunks):
-        tgt_batch, ok = fut.result()
+        res = fut.result()
+        tgt_batch, ok = res[0], res[1]
         if ci + 1 < len(chunks):
             fut = pool.submit(prep, chunks[ci + 1])
         pad = bi - len(chunk)
-        tgt = np.concatenate([tgt_batch] + [tgt_batch[-1:]] * pad) if pad else tgt_batch
-        reenacted, _ = reenact(source_code, params_source, angles_source,
-                               jnp.asarray(tgt))
+        tgt = _pad(tgt_batch, pad)
+        if args.reuse_landmarks:
+            reenacted = reenact(source_code, params_source, angles_source,
+                                jnp.asarray(tgt),
+                                jnp.asarray(_pad(res[2], pad)),
+                                jnp.asarray(_pad(ok, pad)))[0]
+        else:
+            reenacted = reenact(source_code, params_source, angles_source,
+                                jnp.asarray(tgt))[0]
         reenacted = np.asarray(reenacted)[:len(chunk)]
         for j in range(len(chunk)):
             if args.save_images:

@@ -8,4 +8,5 @@ from .fan import (init_fan, fan_forward, heatmaps_to_landmarks,
                   resnet_depth_forward)
 from .landmarks import (estimate_landmarks, box_to_center_scale,
                         crop_transform, crop_faces, REFERENCE_SCALE)
-from .cropping import crop_using_landmarks, crop_from_bbox
+from .cropping import (crop_using_landmarks, crop_from_bbox,
+                       landmarks_in_crop)

@@ -112,6 +112,23 @@ def ffhq_crop_box(landmarks):
     return center, size, valid
 
 
+def landmarks_in_crop(landmarks, image_size: int = 256):
+    """Map raw-frame landmarks into FFHQ-crop coordinates: the crop is the
+    axis-aligned square (center − size, side 2·size) scaled to
+    ``image_size`` (same box on the device AND host paths — the host
+    pad+fade fallback pads the identical box beyond the frame), so
+    lm_crop = (lm − origin) · image_size / side. Single-detection
+    pipelines reuse these for the DECA kpt68 bbox instead of re-running
+    SFD+FAN on the crop. Returns (lms_crop (B, 68, 2), valid (B,))."""
+    import jax.numpy as jnp
+    center, size, valid = ffhq_crop_box(landmarks)
+    origin = (center - size[:, None]).astype(jnp.float32)
+    side = (2 * jnp.maximum(size, 1)).astype(jnp.float32)
+    lms = (landmarks.astype(jnp.float32) - origin[:, None, :]) \
+        * (image_size / side)[:, None, None]
+    return lms, valid
+
+
 def _cubic_kernel(x):
     """Keys cubic, a = -0.5 (PIL BICUBIC / `reenact_io.cpp::rio_cubic`)."""
     import jax.numpy as jnp

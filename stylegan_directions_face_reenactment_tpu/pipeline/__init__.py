@@ -7,5 +7,6 @@ from .reenactment import reenact_batch, make_reenact_fn, source_shape
 from .editing import sweep_direction, one_hot_shift
 from .preprocess import (preprocess_images, resize_max_side, to_gan_range,
                          MAX_SIDE)
-from .alignment import make_fan_align, kpt68_center_size, warp_to_224
+from .alignment import (make_fan_align, landmark_align, kpt68_center_size,
+                        warp_to_224)
 from .source_setup import make_prep_fn, setup_source, CROP_SIZE

@@ -50,6 +50,24 @@ def warp_to_224(images01: jnp.ndarray, center: jnp.ndarray,
     return scale_translate_warp(images01, s, tx, ty, (DECA_CROP, DECA_CROP))
 
 
+def landmark_align(images01: jnp.ndarray, landmarks: jnp.ndarray,
+                   ok: jnp.ndarray = None):
+    """DECA alignment from PRECOMPUTED kpt68 landmarks (single-detection
+    pipelines: the preprocessing stage already ran SFD+FAN on the raw
+    frame; its landmarks, mapped into crop coordinates, feed the kpt68
+    bbox directly instead of re-detecting on the crop like the reference
+    does). Same bbox/warp math as `make_fan_align`, same whole-frame
+    fallback + ok mask on failures. Returns (aligned224, ok)."""
+    b, h = images01.shape[0], images01.shape[1]
+    lms = jax.lax.stop_gradient(landmarks.astype(jnp.float32))
+    if ok is None:
+        ok = jnp.ones((b,), bool)
+    center, old_size = kpt68_center_size(lms)
+    center = jnp.where(ok[:, None], center, h / 2.0)
+    old_size = jnp.where(ok, old_size, h / DECA_SCALE)
+    return warp_to_224(images01, center, old_size), ok
+
+
 def make_fan_align(fan_params: Params, s3fd_params: Params = None,
                    compute_dtype=None, return_ok: bool = False):
     """Batched DECA aligner: [0,1] images (any square size) → (B, 224, 224, 3).

@@ -62,8 +62,9 @@ def preprocess_batch_device(s3fd_params: Params, fan_params: Params,
 def preprocess_images(s3fd_params: Params, fan_params: Params,
                       images: List[np.ndarray],
                       image_size: int = 256,
-                      device_crop: bool = False
-                      ) -> Tuple[np.ndarray, np.ndarray]:
+                      device_crop: bool = False,
+                      return_landmarks: bool = False
+                      ) -> Tuple[np.ndarray, ...]:
     """Batch preprocess: list of HWC uint8 RGB frames → (B, 256, 256, 3)
     float32 in [-1, 1] + validity mask (B,).
 
@@ -124,4 +125,14 @@ def preprocess_images(s3fd_params: Params, fan_params: Params,
                 out[i] = to_gan_range(crops[j])
             else:
                 ok[i] = False
-    return out, ok
+    if not return_landmarks:
+        return out, ok
+    # single-detection pipelines: the raw landmarks mapped into crop
+    # coordinates (same axis-aligned box on the device AND host crop
+    # paths), so the DECA alignment can skip its own SFD+FAN pass
+    from ..models.face.cropping import landmarks_in_crop
+    lms_arr = np.stack([l if l is not None else np.zeros((68, 2), np.float32)
+                        for l in lms]).astype(np.float32)
+    lms_crop, _ = landmarks_in_crop(jnp.asarray(lms_arr),
+                                    image_size=image_size)
+    return out, ok, np.asarray(lms_crop)

@@ -60,7 +60,9 @@ def reenact_batch(g_params: Params, a_params: Params, deca_params: Params,
                   compute_dtype=jnp.float32,
                   fan_params: Optional[Params] = None,
                   s3fd_params: Optional[Params] = None,
-                  return_target_params: bool = False
+                  return_target_params: bool = False,
+                  target_lms: Optional[jnp.ndarray] = None,
+                  target_ok: Optional[jnp.ndarray] = None
                   ) -> Tuple[jnp.ndarray, ...]:
     """Reenact a batch of target frames onto one source identity.
 
@@ -80,10 +82,17 @@ def reenact_batch(g_params: Params, a_params: Params, deca_params: Params,
     # the synthesis compute dtype (coefficients stay f32); f32 keeps exact
     # parity everywhere
     align_dtype = None if compute_dtype == jnp.float32 else compute_dtype
+    if target_lms is not None:
+        # single-detection mode: the caller's preprocessing landmarks
+        # (mapped into crop coords) replace the in-alignment SFD+FAN pass
+        from .alignment import landmark_align
+        align_fn = lambda imgs01: landmark_align(imgs01, target_lms,
+                                                 target_ok)
+    else:
+        align_fn = align_for(fan_params, s3fd_params,
+                             compute_dtype=align_dtype)
     params_target, angles_target = calculate_shapemodel(
-        deca_params, target_imgs,
-        align_fn=align_for(fan_params, s3fd_params,
-                           compute_dtype=align_dtype),
+        deca_params, target_imgs, align_fn=align_fn,
         compute_dtype=align_dtype)
 
     ps = {k: jnp.broadcast_to(v, (t,) + v.shape[1:])
@@ -111,7 +120,8 @@ def make_reenact_fn(g_params: Params, a_params: Params, deca_params: Params,
                     num_layers_shift: int = 8, compute_dtype=jnp.float32,
                     fan_params: Optional[Params] = None,
                     s3fd_params: Optional[Params] = None, mesh=None,
-                    return_target_params: bool = False):
+                    return_target_params: bool = False,
+                    reuse_landmarks: bool = False):
     """Jitted reenactor: (source_code, params_source, angles_source,
     target_imgs) → (reenacted, latents). ``fan_params`` enables the
     reference's FAN-warp DECA alignment on the target frames;
@@ -135,25 +145,43 @@ def make_reenact_fn(g_params: Params, a_params: Params, deca_params: Params,
         weights = replicate(mesh, weights)
         place_batch = lambda t: shard_batch(mesh, t)
 
-    @jax.jit
-    def _fn(weights, source_code, params_source, angles_source, target_imgs):
-        g, a, deca, fan, sfd, trunc = merge_statics(weights, statics)
-        return reenact_batch(
-            g, a, deca, spec, source_code,
-            params_source, angles_source, target_imgs,
-            truncation=truncation, truncation_latent=trunc,
-            num_layers_shift=num_layers_shift, compute_dtype=compute_dtype,
-            fan_params=fan, s3fd_params=sfd,
-            return_target_params=return_target_params)
+    if reuse_landmarks:
+        @jax.jit
+        def _fn(weights, source_code, params_source, angles_source,
+                target_imgs, target_lms, target_ok):
+            g, a, deca, fan, sfd, trunc = merge_statics(weights, statics)
+            return reenact_batch(
+                g, a, deca, spec, source_code,
+                params_source, angles_source, target_imgs,
+                truncation=truncation, truncation_latent=trunc,
+                num_layers_shift=num_layers_shift,
+                compute_dtype=compute_dtype,
+                fan_params=fan, s3fd_params=sfd,
+                return_target_params=return_target_params,
+                target_lms=target_lms, target_ok=target_ok)
+    else:
+        @jax.jit
+        def _fn(weights, source_code, params_source, angles_source,
+                target_imgs):
+            g, a, deca, fan, sfd, trunc = merge_statics(weights, statics)
+            return reenact_batch(
+                g, a, deca, spec, source_code,
+                params_source, angles_source, target_imgs,
+                truncation=truncation, truncation_latent=trunc,
+                num_layers_shift=num_layers_shift,
+                compute_dtype=compute_dtype,
+                fan_params=fan, s3fd_params=sfd,
+                return_target_params=return_target_params)
 
-    def fn(source_code, params_source, angles_source, target_imgs):
+    def fn(source_code, params_source, angles_source, target_imgs, *extra):
         if place_batch is not None:
             from ..parallel.mesh import replicate
             target_imgs = place_batch(jnp.asarray(target_imgs))
+            extra = tuple(place_batch(jnp.asarray(e)) for e in extra)
             source_code, params_source, angles_source = replicate(
                 mesh, (jnp.asarray(source_code), params_source,
                        angles_source))
         return _fn(weights, source_code, params_source, angles_source,
-                   target_imgs)
+                   target_imgs, *extra)
 
     return fn

@@ -27,14 +27,21 @@ CROP_SIZE = 256  # `ffhq_cropping.py:50` — fixed, independent of G's size
 
 def make_prep_fn(s3fd_params: Optional[Params], fan_params: Optional[Params],
                  *, skip_preprocess: bool = False, device_crop: bool = True,
-                 crop_size: int = CROP_SIZE) -> Callable:
+                 crop_size: int = CROP_SIZE,
+                 return_landmarks: bool = False) -> Callable:
     """frames (list of HWC uint8) → ((B, 256, 256, 3) [-1,1], ok mask).
 
     ``skip_preprocess``: inputs are already FFHQ-cropped faces — plain
     resize (the CLIs' --skip_preprocess); otherwise the full SFD → FAN →
-    FFHQ-crop chain (`utils_inference.py:61-82`)."""
+    FFHQ-crop chain (`utils_inference.py:61-82`).
+    ``return_landmarks``: also return the detection landmarks mapped into
+    crop coordinates (single-detection pipelines; incompatible with
+    skip_preprocess, which never detects)."""
+    if return_landmarks and skip_preprocess:
+        raise ValueError("return_landmarks requires the detection prep "
+                         "(incompatible with skip_preprocess)")
 
-    def prep(frames: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
+    def prep(frames: List[np.ndarray]) -> Tuple[np.ndarray, ...]:
         if skip_preprocess:
             from ..native.imgproc import resize_bilinear_u8
             batch = resize_bilinear_u8(np.stack(frames).astype(np.uint8),
@@ -44,7 +51,8 @@ def make_prep_fn(s3fd_params: Optional[Params], fan_params: Optional[Params],
         from .preprocess import preprocess_images
         return preprocess_images(s3fd_params, fan_params, frames,
                                  image_size=crop_size,
-                                 device_crop=device_crop)
+                                 device_crop=device_crop,
+                                 return_landmarks=return_landmarks)
 
     return prep
 
@@ -68,7 +76,8 @@ def setup_source(g_params: Params, e4e_params: Params, deca_params: Params,
     from .pti import optimize_g
     from .reenactment import source_shape
 
-    src_batch, ok = prep(src_frames)
+    res = prep(src_frames)
+    src_batch, ok = res[0], res[1]   # prep may also return landmarks
     if not ok[0]:
         raise RuntimeError("no face detected in the source image")
     source_img = jnp.asarray(src_batch[:1])

@@ -171,3 +171,52 @@ def test_fan_align_shapemodel_differs_from_resize():
     assert float(jnp.abs(p_warp["pose"] - p_res["pose"]).max()) > 1e-6
     assert np.isfinite(np.asarray(ang_warp)).all()
     assert np.isfinite(np.asarray(ang_res)).all()
+
+
+def test_landmarks_in_crop_affine():
+    """landmarks_in_crop maps raw-frame kpts through the exact FFHQ crop
+    box (origin = center − size, scale = image_size / (2·size))."""
+    from stylegan_directions_face_reenactment_tpu.models.face.cropping import (
+        ffhq_crop_box, landmarks_in_crop)
+    rng = np.random.RandomState(0)
+    lms = jnp.asarray(rng.rand(3, 68, 2).astype(np.float32) * 200 + 100)
+    center, size, valid = ffhq_crop_box(lms)
+    lms_c, ok = landmarks_in_crop(lms, image_size=256)
+    assert ok.all() == valid.all()
+    c = np.asarray(center, np.float32)
+    s = np.asarray(size, np.float32)
+    expect = (np.asarray(lms) - (c - s[:, None])[:, None, :]) \
+        * (256.0 / (2.0 * s))[:, None, None]
+    np.testing.assert_allclose(np.asarray(lms_c), expect, rtol=1e-5,
+                               atol=1e-4)
+    # a landmark at the box origin lands at crop pixel 0; at the far
+    # corner it lands at 256
+    origin = jnp.asarray((c - s[:, None])[:, None, :])
+    probe = jnp.concatenate([origin, origin + 2 * s[:, None, None]], axis=1)
+    # reuse the same box by mapping probe points through lms' box
+    got = (np.asarray(probe) - (c - s[:, None])[:, None, :]) \
+        * (256.0 / (2.0 * s))[:, None, None]
+    np.testing.assert_allclose(got[:, 0], 0.0, atol=1e-5)
+    np.testing.assert_allclose(got[:, 1], 256.0, rtol=1e-6)
+
+
+def test_landmark_align_matches_manual_and_fallback():
+    """landmark_align == kpt68 bbox → warp_to_224 for ok frames; failed
+    frames warp the whole frame exactly like make_fan_align's fallback."""
+    from stylegan_directions_face_reenactment_tpu.pipeline.alignment import (
+        landmark_align)
+    rng = np.random.RandomState(1)
+    imgs = jnp.asarray(rng.rand(2, 256, 256, 3).astype(np.float32))
+    lms = jnp.asarray(rng.rand(2, 68, 2).astype(np.float32) * 120 + 60)
+    ok = jnp.asarray([True, False])
+    aligned, ok_out = landmark_align(imgs, lms, ok)
+    assert aligned.shape == (2, DECA_CROP, DECA_CROP, 3)
+    np.testing.assert_array_equal(np.asarray(ok_out), np.asarray(ok))
+    center, old_size = kpt68_center_size(lms)
+    manual_ok = warp_to_224(imgs[:1], center[:1], old_size[:1])
+    np.testing.assert_allclose(np.asarray(aligned[:1]),
+                               np.asarray(manual_ok), rtol=1e-5, atol=1e-5)
+    manual_bad = warp_to_224(imgs[1:], jnp.full((1, 2), 128.0),
+                             jnp.full((1,), 256.0 / DECA_SCALE))
+    np.testing.assert_allclose(np.asarray(aligned[1:]),
+                               np.asarray(manual_bad), rtol=1e-5, atol=1e-5)

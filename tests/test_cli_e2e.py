@@ -237,3 +237,20 @@ def test_parity_report_random_init(tmp_path):
         assert rec["n_frames"] > 0
         assert rec["gate"]["tolerance"] == 0.01
         assert set(rec["gate"]["checks"]) == {"csim", "pose", "exp"}
+
+
+def test_run_inference_reuse_landmarks_needs_detection_prep(tmp_path):
+    """--reuse_landmarks is a single-detection pipeline: it needs the
+    SFD+FAN prep (no landmarks exist with --skip_preprocess) and a
+    bbox-based alignment."""
+    from stylegan_directions_face_reenactment_tpu.cli.run_inference import main
+    with pytest.raises(ValueError, match="reuse_landmarks"):
+        main(["--source_path", PNG, "--target_path", PNG,
+              "--output_path", str(tmp_path), "--random_init",
+              "--skip_preprocess", "--reuse_landmarks",
+              "--image_resolution", RES, "--no-optimize_generator"])
+    with pytest.raises(ValueError, match="reuse_landmarks"):
+        main(["--source_path", PNG, "--target_path", PNG,
+              "--output_path", str(tmp_path), "--random_init",
+              "--deca_alignment", "resize", "--reuse_landmarks",
+              "--image_resolution", RES, "--no-optimize_generator"])

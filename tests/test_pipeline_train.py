@@ -100,6 +100,51 @@ def test_reenact_batch(world):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_reenact_reuse_landmarks(world):
+    """Single-detection mode: target_lms drive the DECA bbox directly.
+    The output must move when the landmarks (bbox) move, and match the
+    manual landmark_align → calculate_shapemodel composition."""
+    from stylegan_directions_face_reenactment_tpu.models.deca import (
+        calculate_shapemodel)
+    from stylegan_directions_face_reenactment_tpu.pipeline.alignment import (
+        landmark_align)
+    src_img = jax.random.uniform(jax.random.PRNGKey(4), (1, SIZE, SIZE, 3),
+                                 minval=-1, maxval=1)
+    params_source, angles_source = calculate_shapemodel(world["deca"],
+                                                        src_img)
+    code = jax.random.normal(jax.random.PRNGKey(5),
+                             (1, n_latent_for(SIZE), 512))
+    tgt = jax.random.uniform(jax.random.PRNGKey(6), (2, SIZE, SIZE, 3),
+                             minval=-1, maxval=1)
+    rng = np.random.RandomState(2)
+    lms = jnp.asarray(rng.rand(2, 68, 2).astype(np.float32) * 30 + 15)
+    ok = jnp.ones((2,), bool)
+    out, _ = reenact_batch(world["g"], world["a"], world["deca"],
+                           world["spec"], code, params_source,
+                           angles_source, tgt, truncation=0.7,
+                           truncation_latent=world["trunc"],
+                           target_lms=lms, target_ok=ok)
+    assert out.shape == (2, SIZE, SIZE, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # equality vs the manual composition through the same coefficients
+    p_t, a_t = calculate_shapemodel(
+        world["deca"], tgt, align_fn=lambda im: landmark_align(im, lms, ok))
+    out2, _, p_t2, a_t2 = reenact_batch(
+        world["g"], world["a"], world["deca"], world["spec"], code,
+        params_source, angles_source, tgt, truncation=0.7,
+        truncation_latent=world["trunc"], target_lms=lms, target_ok=ok,
+        return_target_params=True)
+    np.testing.assert_allclose(np.asarray(a_t2), np.asarray(a_t),
+                               rtol=1e-5, atol=1e-5)
+    # bbox sensitivity: shifted landmarks change the coefficients
+    _, _, p_t3, a_t3 = reenact_batch(
+        world["g"], world["a"], world["deca"], world["spec"], code,
+        params_source, angles_source, tgt, truncation=0.7,
+        truncation_latent=world["trunc"], target_lms=lms + 20.0,
+        target_ok=ok, return_target_params=True)
+    assert float(jnp.abs(a_t3 - a_t2).max()) > 0
+
+
 def test_sweep_direction(world):
     code = jax.random.normal(jax.random.PRNGKey(8),
                              (1, n_latent_for(SIZE), 512))
