@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True,
                    help="on-device FFHQ crop (--no-device_crop = PIL-exact "
                         "host path)")
+    p.add_argument("--reuse_landmarks", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="single-detection pipeline (see run_inference): "
+                        "with real checkpoints this harness then QUANTIFIES "
+                        "the deviation — compare the report against a "
+                        "default-pipeline run on the same inputs")
     p.add_argument("--reference_metrics", default=None,
                    help="JSON file with the PyTorch reference's "
                         "{csim, pose, exp} on the same inputs; enables the "
@@ -129,8 +135,13 @@ def main(argv=None):
 
     # the FFHQ crop is 256 regardless of the generator's size (see
     # pipeline/source_setup.py); only synthesis emits g.meta.size
+    if args.reuse_landmarks and (args.skip_preprocess
+                                 or args.deca_alignment == "resize"):
+        raise ValueError("--reuse_landmarks needs the detection prep and a "
+                         "bbox-based --deca_alignment (fan/fan_frame)")
     prep = make_prep_fn(sfd, fan, skip_preprocess=args.skip_preprocess,
-                        device_crop=args.device_crop)
+                        device_crop=args.device_crop,
+                        return_landmarks=args.reuse_landmarks)
 
     # --- frames -----------------------------------------------------------
     frames = _load_target_frames(args.target_path, args.video_stride)
@@ -153,7 +164,8 @@ def main(argv=None):
     reenact = make_reenact_fn(g_src, a, deca, spec, truncation=0.7,
                               truncation_latent=trunc, fan_params=fan_deca,
                               s3fd_params=sfd_deca,
-                              return_target_params=True)
+                              return_target_params=True,
+                              reuse_landmarks=args.reuse_landmarks)
 
     # --- per-frame metric program (`utils_train.py:695-732`) --------------
     mweights, mstatics = strip_statics((deca, idb, fan_deca, sfd_deca))
@@ -177,14 +189,22 @@ def main(argv=None):
 
     bi = args.frame_batch
     csims, poses, exps, used = [], [], [], 0
+    def _pad(x, pad):
+        return np.concatenate([x] + [x[-1:]] * pad) if pad else x
+
     for s in range(0, len(frames), bi):
         chunk = frames[s:s + bi]
-        tgt_batch, ok = prep(chunk)
+        res = prep(chunk)
+        tgt_batch, ok = res[0], res[1]
         pad = bi - len(chunk)
-        tgt = np.concatenate([tgt_batch] + [tgt_batch[-1:]] * pad) \
-            if pad else tgt_batch
-        reenacted, _, p_t, a_t = reenact(source_code, params_source,
-                                         angles_source, jnp.asarray(tgt))
+        tgt = _pad(tgt_batch, pad)
+        if args.reuse_landmarks:
+            reenacted, _, p_t, a_t = reenact(
+                source_code, params_source, angles_source, jnp.asarray(tgt),
+                jnp.asarray(_pad(res[2], pad)), jnp.asarray(_pad(ok, pad)))
+        else:
+            reenacted, _, p_t, a_t = reenact(source_code, params_source,
+                                             angles_source, jnp.asarray(tgt))
         c, p, e = _metrics(mweights, reenacted, p_t, a_t, source_img)
         keep = np.asarray(ok)    # drop frames with no detected face
         csims.append(np.asarray(c)[:len(chunk)][keep])
@@ -213,6 +233,7 @@ def main(argv=None):
         "self_reenactment": self_reenactment,
         "optimize_generator": bool(args.optimize_generator),
         "deca_alignment": args.deca_alignment,
+        "reuse_landmarks": bool(args.reuse_landmarks),
         "checkpoints": "random_init" if args.random_init else "real",
         "verified": not args.random_init,
         "gate": None,
