@@ -8,10 +8,8 @@ the source file. `--random-init` builds randomly-initialized models instead
 
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, Optional, Tuple
 
-import numpy as np
 import jax
 
 from ..configs.models_config import AUX_MODELS, MODELS

@@ -14,7 +14,7 @@ only uses Encoder4Editing.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -18,8 +18,8 @@ from typing import Any, Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 
-from .nn import (adaptive_avg_pool2d, batch_norm, conv2d, linear, max_pool2d,
-                 prelu, relu, sigmoid)
+from .nn import (adaptive_avg_pool2d, batch_norm, conv2d, linear, prelu,
+                 relu, sigmoid)
 
 Params = Dict[str, Any]
 

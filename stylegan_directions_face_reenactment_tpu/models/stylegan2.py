@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..ops import (equal_linear, equal_conv2d, fused_leaky_relu, make_kernel,
                    modulated_conv2d, pixel_norm, scaled_leaky_relu, upsample2d,
-                   blur, upfirdn2d)
+                   blur)
 
 Params = Dict[str, Any]
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from ..geometry.directions import DirectionsSpec, get_direction_info

@@ -6,14 +6,12 @@ Functional equivalents of `libs/utilities/generic.py:116-152`
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
-import jax
 import jax.numpy as jnp
 
 from ..models.nn import adaptive_avg_pool2d
-from ..models.stylegan2 import (generator_forward, mapping, n_latent_for,
-                                style_to_wplus)
+from ..models.stylegan2 import generator_forward, mapping, n_latent_for
 
 Params = Dict[str, Any]
 

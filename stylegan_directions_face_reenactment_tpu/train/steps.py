@@ -12,7 +12,7 @@ weight decay is added to the gradient *before* the moment updates.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,6 @@ from ..configs.arguments import TrainingArguments
 from ..geometry.directions import (DirectionsSpec, make_shift_vector,
                                    make_shift_vector_50)
 from ..models.deca.deca import calculate_shapemodel
-from ..models.direction_matrix import direction_matrix_forward
 from ..models.stylegan2 import mapping, n_latent_for
 from ..pipeline.synthesis import generate_image
 from .losses_stack import calculate_losses, calculate_losses_paired

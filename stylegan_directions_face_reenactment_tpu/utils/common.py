@@ -6,7 +6,6 @@ import json
 import os
 from typing import List
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ import contextlib
 import json
 import os
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 @contextlib.contextmanager

@@ -19,7 +19,6 @@ Inputs can be torch tensors or numpy arrays — everything is converted via
 from __future__ import annotations
 
 import math
-import re
 from typing import Any, Dict, List, Mapping
 
 import numpy as np
