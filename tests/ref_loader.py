@@ -92,11 +92,21 @@ class _FusedLeakyReLUCPU(nn.Module):
 
 def install_op_stub():
     """Register a pure-CPU `libs.gan.StyleGAN2.op` so the real reference
-    `model.py` (which does `from .op import ...`, `model.py:8`) can import."""
+    `model.py` (which does `from .op import ...`, `model.py:8`) can import.
+
+    If ANOTHER test already installed a non-functional op module (e.g. a
+    schema-only stub whose functions return None), replace it and drop the
+    model module so it re-imports against the functional stub — otherwise
+    the real Generator's forward silently threads None through
+    `fused_leaky_relu` (this bit in full-suite ordering once)."""
     install_reference_path()
     name = "libs.gan.StyleGAN2.op"
-    if name in sys.modules:
-        return sys.modules[name]
+    existing = sys.modules.get(name)
+    if existing is not None:
+        if getattr(existing, "_functional_cpu_stub", False):
+            return existing
+        sys.modules.pop(name, None)
+        sys.modules.pop("libs.gan.StyleGAN2.model", None)
     native = _extract_upfirdn2d_native()
 
     def upfirdn2d(input, kernel, up=1, down=1, pad=(0, 0)):
@@ -115,6 +125,7 @@ def install_op_stub():
     stub.upfirdn2d = upfirdn2d
     stub.fused_leaky_relu = _fused_leaky_relu_cpu
     stub.FusedLeakyReLU = _FusedLeakyReLUCPU
+    stub._functional_cpu_stub = True
     sys.modules[name] = stub
     return stub
 

@@ -58,38 +58,13 @@ def assert_same_schema(converted, inited, name):
 # StyleGAN2 generator — g_ema layout (`model.py:361-539`)
 # ---------------------------------------------------------------------------
 
-def _install_op_stub():
-    """Parameter-faithful stub for `libs.gan.StyleGAN2.op` (the CUDA
-    extension): FusedLeakyReLU holds the bias Parameter; the functions are
-    never called (we only read state_dict layouts)."""
-    name = "libs.gan.StyleGAN2.op"
-    if name in sys.modules:
-        return
-    stub = types.ModuleType(name)
-
-    class FusedLeakyReLU(nn.Module):
-        def __init__(self, channel, negative_slope=0.2, scale=2 ** 0.5):
-            super().__init__()
-            self.bias = nn.Parameter(torch.zeros(channel))
-            self.negative_slope = negative_slope
-            self.scale = scale
-
-    stub.FusedLeakyReLU = FusedLeakyReLU
-    stub.fused_leaky_relu = lambda *a, **k: None
-    stub.upfirdn2d = lambda *a, **k: None
-    sys.modules[name] = stub
-
-
 def _load_reference_generator_class():
-    install_reference_path()
-    _install_op_stub()
-    # drop the EqualLinear stub ref_loader installs for e4e so the REAL
-    # model.py loads (its import of `op` now hits our parameter stub)
-    sys.modules.pop("libs.gan.StyleGAN2.model", None)
-    import importlib
-    import libs.gan.StyleGAN2.model as m
-    importlib.reload(m)
-    return m.Generator
+    """The REAL reference model on CPU via ref_loader's FUNCTIONAL op stub
+    (shared with the full-forward parity tests — a schema-only stub whose
+    functions return None poisons any later test that actually runs the
+    Generator, because model.py binds `fused_leaky_relu` at import)."""
+    from ref_loader import load_generator_module
+    return load_generator_module().Generator
 
 
 def test_stylegan2_generator_schema():
