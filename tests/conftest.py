@@ -18,6 +18,18 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
+# Pin the platform via the CONFIG knob and drop any pre-initialized
+# backends (same hermetic recipe as __graft_entry__.dryrun_multichip):
+# the env var alone does NOT stop jax.devices() from initializing a
+# sitecustomize-registered TPU backend, and when that backend's tunnel
+# endpoint is down the init blocks forever — hanging every pytest run.
+jax.config.update("jax_platforms", "cpu")
+try:
+    import jax.extend.backend
+    jax.extend.backend.clear_backends()
+except Exception:  # pragma: no cover - nothing initialized yet
+    pass
+
 try:
     _cpus = jax.devices("cpu")
     jax.config.update("jax_default_device", _cpus[0])
