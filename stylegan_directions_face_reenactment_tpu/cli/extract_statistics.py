@@ -17,6 +17,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Extract direction range statistics")
     p.add_argument("--output_path", default="./")
     p.add_argument("--dataset_type", default="voxceleb")
+    p.add_argument("--image_resolution", type=int, default=None,
+                   help="override the dataset's generator resolution "
+                        "(small sizes for CPU smoke runs)")
     p.add_argument("--num_samples", type=int, default=2000)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--truncation", type=float, default=0.7)
@@ -28,6 +31,27 @@ def build_parser() -> argparse.ArgumentParser:
                         "'resize' = plain bilinear")
     p.add_argument("--seed", type=int, default=0)
     return p
+
+
+def filter_detected_rows(all_rows: np.ndarray) -> np.ndarray:
+    """Drop detection-failure rows before the min/max reduction.
+
+    With the 'fan' alignment, samples whose in-graph SFD detection misses
+    the confidence gate carry the -180° sentinel in yaw/pitch/roll and
+    zeroed coefficients (`estimate_DECA.py:48-51` semantics). One such row
+    would make the angle mins -180 and silently corrupt the direction
+    scaling built from this file. (The reference's extract_statistics.py
+    shares this failure mode unfiltered — known deviation, see README.)
+    """
+    detected = ~np.all(all_rows[:, :3] == -180.0, axis=1)
+    if not detected.all():
+        print(f"dropping {int((~detected).sum())}/{len(all_rows)} samples "
+              "with failed face detection")
+        all_rows = all_rows[detected]
+    if len(all_rows) == 0:
+        raise RuntimeError("face detection failed on every sample; ranges "
+                           "would be meaningless (random-init models?)")
+    return all_rows
 
 
 def main(argv=None):
@@ -43,7 +67,8 @@ def main(argv=None):
     from .model_loading import (compute_trunc, load_deca, load_face_models,
                                 load_generator)
 
-    g = load_generator(args.dataset_type, random_init=args.random_init)
+    g = load_generator(args.dataset_type, random_init=args.random_init,
+                       resolution=args.image_resolution)
     deca = load_deca(random_init=args.random_init)
     trunc = compute_trunc(g)
     fan_deca = sfd_deca = None
@@ -79,7 +104,7 @@ def main(argv=None):
         rows.append(np.asarray(batch_stats(z)))
         if (i + 1) % 10 == 0:
             print(f"{(i + 1) * args.batch_size}/{args.num_samples}")
-    all_rows = np.concatenate(rows)[:args.num_samples]
+    all_rows = filter_detected_rows(np.concatenate(rows)[:args.num_samples])
 
     ranges = np.stack([all_rows.min(axis=0), all_rows.max(axis=0)],
                       axis=1).astype(np.float64)  # (54, 2)

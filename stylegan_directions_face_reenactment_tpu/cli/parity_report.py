@@ -184,13 +184,18 @@ def main(argv=None):
         f_src = extract_id_feats(idb_p, source)
         f_re = extract_id_feats(idb_p, re256)
         csim_pf = jnp.sum(f_src * f_re, axis=-1)       # per-frame cosine
+        # frames whose in-graph SFD re-detection failed (on the target crop
+        # inside the reenact program, or here on the reenacted frame) carry
+        # the reference's -180° sentinel (`estimate_DECA.py:48-51`); their
+        # zeroed coefficients would poison the averages the gate adjudicates
+        valid = (jnp.any(a_s != -180.0, axis=-1)
+                 & jnp.any(a_t != -180.0, axis=-1))
         return (csim_pf, pose_error(a_s, a_t),
-                expression_error(spec, p_s, p_t))
+                expression_error(spec, p_s, p_t), valid)
 
     bi = args.frame_batch
-    csims, poses, exps, used = [], [], [], 0
-    def _pad(x, pad):
-        return np.concatenate([x] + [x[-1:]] * pad) if pad else x
+    csims, poses, exps, used, dropped = [], [], [], 0, 0
+    from ..pipeline.source_setup import pad_batch as _pad
 
     for s in range(0, len(frames), bi):
         chunk = frames[s:s + bi]
@@ -205,12 +210,15 @@ def main(argv=None):
         else:
             reenacted, _, p_t, a_t = reenact(source_code, params_source,
                                              angles_source, jnp.asarray(tgt))
-        c, p, e = _metrics(mweights, reenacted, p_t, a_t, source_img)
-        keep = np.asarray(ok)    # drop frames with no detected face
+        c, p, e, valid = _metrics(mweights, reenacted, p_t, a_t, source_img)
+        # drop frames with no detected face — at preprocessing (ok) or in
+        # the in-graph DECA re-detections (valid, the -180 sentinel)
+        keep = np.asarray(ok) & np.asarray(valid)[:len(chunk)]
         csims.append(np.asarray(c)[:len(chunk)][keep])
         poses.append(np.asarray(p)[:len(chunk)][keep])
         exps.append(np.asarray(e)[:len(chunk)][keep])
         used += int(keep.sum())
+        dropped += len(chunk) - int(keep.sum())
         print(f"{min(s + bi, len(frames))}/{len(frames)} frames")
 
     if used == 0:
@@ -230,6 +238,7 @@ def main(argv=None):
                           "pose_error_deg": float(poses.std()),
                           "expression_error": float(exps.std())},
         "n_frames": used,
+        "n_frames_dropped_no_detection": dropped,
         "self_reenactment": self_reenactment,
         "optimize_generator": bool(args.optimize_generator),
         "deca_alignment": args.deca_alignment,

@@ -77,11 +77,14 @@ def main(argv=None):
     spec = initialize_directions(args.dataset_type, 15, 6.0)
     trunc = compute_trunc(g)
     size = g["meta"]["size"]
-    fan_deca = sfd_deca = None
+    fan_deca = sfd_deca = sfd_full = fan_full = None
     if args.deca_alignment in ("fan", "fan_frame"):
-        sfd_deca, fan_deca = load_face_models(random_init=args.random_init)
-        if args.deca_alignment == "fan_frame":
-            sfd_deca = None
+        # load_face_models always returns the (SFD, FAN) pair; keep both so
+        # the preprocessing branch below never re-loads the checkpoints
+        sfd_full, fan_full = load_face_models(random_init=args.random_init)
+        fan_deca = fan_full
+        if args.deca_alignment == "fan":
+            sfd_deca = sfd_full
 
     # --- source latent ------------------------------------------------
     if args.source_path is None:
@@ -108,8 +111,8 @@ def main(argv=None):
         from ..pipeline import make_prep_fn, setup_source
         if args.skip_preprocess:
             sfd = fan = None
-        elif fan_deca is not None and sfd_deca is not None:
-            sfd, fan = sfd_deca, fan_deca     # reuse the alignment models
+        elif fan_full is not None:
+            sfd, fan = sfd_full, fan_full     # reuse the alignment models
         else:
             sfd, fan = load_face_models(random_init=args.random_init)
         prep = make_prep_fn(sfd, fan, skip_preprocess=args.skip_preprocess,

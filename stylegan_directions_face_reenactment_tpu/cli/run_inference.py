@@ -180,8 +180,7 @@ def main(argv=None):
     pool = ThreadPoolExecutor(1)
     fut = pool.submit(prep, chunks[0]) if chunks else None
 
-    def _pad(x, pad):
-        return np.concatenate([x] + [x[-1:]] * pad) if pad else x
+    from ..pipeline.source_setup import pad_batch as _pad
 
     for ci, chunk in enumerate(chunks):
         res = fut.result()

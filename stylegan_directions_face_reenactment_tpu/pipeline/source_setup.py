@@ -25,6 +25,12 @@ Params = Dict[str, Any]
 CROP_SIZE = 256  # `ffhq_cropping.py:50` — fixed, independent of G's size
 
 
+def pad_batch(x: np.ndarray, pad: int) -> np.ndarray:
+    """Pad a frame chunk to the jitted program's static batch by repeating
+    the last row (callers slice the outputs back to the true length)."""
+    return np.concatenate([x] + [x[-1:]] * pad) if pad else x
+
+
 def make_prep_fn(s3fd_params: Optional[Params], fan_params: Optional[Params],
                  *, skip_preprocess: bool = False, device_crop: bool = True,
                  crop_size: int = CROP_SIZE,

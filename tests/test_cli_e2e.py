@@ -220,8 +220,13 @@ def test_parity_report_random_init(tmp_path):
     ref = tmp_path / "ref.json"
     ref.write_text(json.dumps({"csim": 0.99, "pose": 0.5, "exp": 0.1}))
     out = tmp_path / "report"
+    # fan_frame: the FAN alignment program runs but cannot fail detection —
+    # random-init SFD never clears the 0.99 gate under the default 'fan'
+    # mode, and the harness (correctly) refuses a report with zero
+    # detected frames
     rep = main(["--target_path", MP4S[0], "--output_path", str(out),
                 "--random_init", "--skip_preprocess",
+                "--deca_alignment", "fan_frame",
                 "--image_resolution", RES, "--frame_batch", "4",
                 "--video_stride", "60", "--no-optimize_generator",
                 "--reference_metrics", str(ref)])
@@ -235,8 +240,42 @@ def test_parity_report_random_init(tmp_path):
         assert rec["verified"] is False
         assert rec["self_reenactment"] is True
         assert rec["n_frames"] > 0
+        assert rec["n_frames_dropped_no_detection"] == 0
         assert rec["gate"]["tolerance"] == 0.01
         assert set(rec["gate"]["checks"]) == {"csim", "pose", "exp"}
+
+
+def test_extract_statistics_cli(tmp_path):
+    """The fifth entry point (`extract_statistics.py:58-109`): N synthetic
+    samples → DECA coefficient rows → ranges_{dataset}.npy of shape (54, 2)
+    with min <= max per dimension. 'resize' alignment: random-init SFD
+    would fail every sample under the default 'fan' mode, which the CLI now
+    (correctly) refuses to turn into a ranges file."""
+    from stylegan_directions_face_reenactment_tpu.cli.extract_statistics import (
+        main)
+    main(["--output_path", str(tmp_path), "--num_samples", "6",
+          "--batch_size", "3", "--random_init", "--deca_alignment",
+          "resize", "--dataset_type", "voxceleb",
+          "--image_resolution", RES])
+    ranges = np.load(tmp_path / "ranges_voxceleb.npy")
+    assert ranges.shape == (54, 2)
+    assert np.isfinite(ranges).all()
+    assert (ranges[:, 0] <= ranges[:, 1]).all()
+
+
+def test_extract_statistics_sentinel_filter():
+    """Detection-failure rows (-180° angles, zeroed coefficients) must not
+    reach the min/max reduction; all-failed raises instead of writing a
+    meaningless ranges file."""
+    from stylegan_directions_face_reenactment_tpu.cli.extract_statistics import (
+        filter_detected_rows)
+    good = np.random.default_rng(0).normal(size=(5, 54)).astype(np.float32)
+    bad = np.zeros((2, 54), np.float32)
+    bad[:, :3] = -180.0
+    kept = filter_detected_rows(np.concatenate([good, bad]))
+    np.testing.assert_array_equal(kept, good)
+    with pytest.raises(RuntimeError, match="every sample"):
+        filter_detected_rows(bad)
 
 
 def test_run_inference_reuse_landmarks_needs_detection_prep(tmp_path):
