@@ -50,11 +50,40 @@ def _time_loop(fn, iters=30):
     return (time.perf_counter() - t0) / iters
 
 
+def _require_devices(timeout_s: float) -> None:
+    """Fail fast if the accelerator backend never initializes.
+
+    With the tunneled TPU endpoint down, `jax.devices()` blocks forever
+    inside backend init (env vars cannot prevent it — see
+    .claude/skills/verify/SKILL.md). A bench that hangs indefinitely is
+    worse than one that exits with a diagnosis; probe from a daemon
+    thread and bail if the backend does not come up in time."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax
+        jax.devices()
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(f"bench: accelerator backend failed to initialize within "
+              f"{timeout_s:.0f}s (TPU tunnel down?); aborting",
+              file=sys.stderr)
+        os._exit(2)
+
+
 def main():
+    import os
+
+    _require_devices(float(os.environ.get("REENACT_BENCH_DEVICE_TIMEOUT",
+                                          "600")))
     import jax
     import jax.numpy as jnp
-
-    import os
 
     from stylegan_directions_face_reenactment_tpu.utils.jax_cache import (
         enable_persistent_cache)
