@@ -167,3 +167,45 @@ def load_backbone_class():
 
 def state_dict_np(module):
     return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def extract_ref_function(relpath, name, class_name=None, namespace=None):
+    """Execute ONE function (or method) definition from a reference file
+    without importing the module (whose top-level imports may need CUDA,
+    torchvision, wandb, ...). Same technique as `_extract_upfirdn2d_native`.
+
+    ``class_name``: pull the def out of that class body; the result is the
+    plain function — call it with an explicit ``self`` (e.g. a
+    SimpleNamespace carrying the attributes the method reads).
+    ``namespace``: extra globals the function body needs.
+    """
+    path = f"{REF_ROOT}/{relpath}"
+    with open(path) as f:
+        tree = ast.parse(f.read(), filename=path)
+    body = tree.body
+    if class_name is not None:
+        cls = next(n for n in body if isinstance(n, ast.ClassDef)
+                   and n.name == class_name)
+        body = cls.body
+    fn = next(n for n in body if isinstance(n, ast.FunctionDef)
+              and n.name == name)
+    mod = ast.Module(body=[fn], type_ignores=[])
+    ns = {"torch": torch, "F": F}
+    if namespace:
+        ns.update(namespace)
+    exec(compile(mod, path, "exec"), ns)
+    return ns[name]
+
+
+class cuda_noop:
+    """Context manager: make `.cuda()` a no-op so reference code with
+    hard-coded device placement (`run_inference.py:31` etc.) runs on CPU."""
+
+    def __enter__(self):
+        self._orig = torch.Tensor.cuda
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        return self
+
+    def __exit__(self, *exc):
+        torch.Tensor.cuda = self._orig
+        return False

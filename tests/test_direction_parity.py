@@ -1,0 +1,292 @@
+"""Live-torch parity for the latent-side reenactment chain: direction
+ranges → Δp construction → direction matrix A → latent shift → synthesis.
+
+Every stage runs the REFERENCE's own code on CPU next to ours:
+
+* `initialize_directions` lstsq a·x+b maps (`libs/utilities/generic.py:36-114`)
+* training `make_shift_vector` (`libs/utilities/utils_train.py:127-174`)
+* inference `make_shift` (`run_inference.py:201-254`)
+* `get_shifted_latent_code` / `generate_image` (`generic.py:116-152`)
+* `DirectionMatrix` (`libs/models/direction_matrix.py`) through our
+  checkpoint converter
+
+The reference functions are AST-extracted (their host modules import
+torchvision/wandb/CUDA extensions unavailable here) and executed in place —
+nothing is copied. The final test composes the whole chain into coefficient
+dicts → reenacted pixels against the real reference `model.py` generator
+(CPU via `ref_loader.install_op_stub`).
+"""
+
+import types
+
+import numpy as np
+import pytest
+import torch
+import jax.numpy as jnp
+
+from stylegan_directions_face_reenactment_tpu.geometry import (
+    initialize_directions, make_shift_vector)
+from stylegan_directions_face_reenactment_tpu.models.direction_matrix import (
+    direction_matrix_forward)
+from stylegan_directions_face_reenactment_tpu.models.stylegan2 import (
+    n_latent_for)
+from stylegan_directions_face_reenactment_tpu.pipeline.synthesis import (
+    generate_image, get_shifted_latent_code)
+from stylegan_directions_face_reenactment_tpu.weights.torch_convert import (
+    convert_direction_matrix, convert_stylegan2_generator)
+
+from ref_loader import (cuda_noop, extract_ref_function,
+                        install_reference_path, load_generator_module)
+
+REF = "/root/reference"
+
+
+# ---------------------------------------------------------------------------
+# Reference-side builders
+# ---------------------------------------------------------------------------
+
+def _ref_initialize_directions(dataset_type, learned_directions=15,
+                               shift_scale=6.0):
+    """The reference's `initialize_directions` with absolute ranges paths
+    (the shipped dicts use CWD-relative ones, `config_directions.py:14,27`)."""
+    install_reference_path()
+    from libs.configs import config_directions as cd
+    vox = dict(cd.voxceleb_dict,
+               ranges_filepath=f"{REF}/libs/configs/ranges_voxceleb.npy")
+    ffhq = dict(cd.ffhq_dict,
+                ranges_filepath=f"{REF}/libs/configs/ranges_FFHQ.npy")
+    from numpy import ones, vstack
+    from numpy.linalg import lstsq
+    fn = extract_ref_function(
+        "libs/utilities/generic.py", "initialize_directions",
+        namespace=dict(np=np, ones=ones, vstack=vstack, lstsq=lstsq,
+                       get_direction_ranges=cd.get_direction_ranges,
+                       voxceleb_dict=vox, ffhq_dict=ffhq))
+    return fn(dataset_type, learned_directions, shift_scale)
+
+
+def _ref_shift_self(dataset_type, batch_size, learned_directions=15,
+                    shift_scale=6.0):
+    """A stand-in `self` for the extracted Utilities_train / Inference
+    methods, populated exactly like `utils_train.py:36-62`."""
+    install_reference_path()
+    from libs.configs import config_directions as cd
+    d = cd.voxceleb_dict if dataset_type == "voxceleb" else cd.ffhq_dict
+    (count_pose, num_expressions, directions_exp, jaw_dict, angle_scales,
+     _angle_directions) = _ref_initialize_directions(
+        dataset_type, learned_directions, shift_scale)
+    return types.SimpleNamespace(
+        params={"batch_size": batch_size,
+                "learned_directions": learned_directions},
+        shift_scale=shift_scale,
+        learned_directions=learned_directions,
+        yaw_direction=d["yaw_direction"],
+        pitch_direction=d["pitch_direction"],
+        roll_direction=d["roll_direction"],
+        count_pose=count_pose, num_expressions=num_expressions,
+        directions_exp=directions_exp, angle_scales=angle_scales,
+        a_jaw=jaw_dict["a"], b_jaw=jaw_dict["b"])
+
+
+def _rand_coeffs(rng, b):
+    """params dict + angles in the shapes `calculate_shapemodel` emits."""
+    params = {"pose": rng.normal(size=(b, 6)).astype(np.float32) * 0.3,
+              "alpha_exp": rng.normal(size=(b, 50)).astype(np.float32)}
+    angles = (rng.uniform(-30, 30, (b, 3))).astype(np.float32)
+    return params, angles
+
+
+def _torch_params(params):
+    return {k: torch.from_numpy(v) for k, v in params.items()}
+
+
+# ---------------------------------------------------------------------------
+# initialize_directions: lstsq maps vs our exact two-point lines
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dataset", ["voxceleb", "ffhq"])
+def test_initialize_directions_live_parity(dataset):
+    (count_pose, num_expressions, directions_exp, jaw_dict, angle_scales,
+     angle_directions) = _ref_initialize_directions(dataset)
+    spec = initialize_directions(dataset, 15, 6.0)
+
+    assert spec.count_pose == count_pose
+    assert spec.num_expressions == num_expressions == len(directions_exp)
+    assert spec.angle_scales == tuple(angle_scales)
+    assert (spec.yaw_direction, spec.pitch_direction, spec.roll_direction) \
+        == tuple(int(x) for x in angle_directions)
+    np.testing.assert_allclose(spec.a_jaw, jaw_dict["a"], rtol=1e-6)
+    np.testing.assert_allclose(spec.b_jaw, jaw_dict["b"], rtol=1e-6,
+                               atol=1e-9)
+    assert (spec.jaw_min, spec.jaw_max) == (jaw_dict["min"], jaw_dict["max"])
+    for i, d in enumerate(directions_exp):
+        assert spec.exp_components[i] == d["exp_component"]
+        assert spec.exp_slot(i) == d["A_direction"]
+        np.testing.assert_allclose(spec.exp_a[i], d["a"], rtol=1e-6)
+        np.testing.assert_allclose(spec.exp_b[i], d["b"], rtol=1e-6,
+                                   atol=1e-9)
+        assert (spec.exp_min[i], spec.exp_max[i]) == (d["min_shift"],
+                                                      d["max_shift"])
+
+
+# ---------------------------------------------------------------------------
+# Δp construction: training + inference variants vs ours
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dataset", ["voxceleb", "ffhq"])
+def test_make_shift_vector_training_live_parity(dataset):
+    """Batched training Δp (`utils_train.py:127-174`), incl. the FFHQ
+    roll-less slot layout the reference realizes via `roll_direction=-1`."""
+    b = 6
+    fn = extract_ref_function("libs/utilities/utils_train.py",
+                              "make_shift_vector",
+                              class_name="Utilities_train")
+    self_ = _ref_shift_self(dataset, b)
+    rng = np.random.default_rng(3)
+    ps, angs = _rand_coeffs(rng, b)
+    pt, angt = _rand_coeffs(rng, b)
+    with cuda_noop(), torch.no_grad():
+        want = fn(self_, _torch_params(ps), _torch_params(pt),
+                  torch.from_numpy(angs), torch.from_numpy(angt)).numpy()
+
+    spec = initialize_directions(dataset, 15, 6.0)
+    got = np.asarray(make_shift_vector(spec, ps, pt, jnp.asarray(angs),
+                                       jnp.asarray(angt)))
+    assert got.shape == want.shape == (b, 15)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    if dataset == "ffhq":
+        # roll contributes nowhere; jaw sits at slot count_pose-1 == 2
+        assert spec.roll_direction == -1 and spec.jaw_index == 2
+
+
+def test_make_shift_inference_live_parity():
+    """The inference-side Δp (`run_inference.py:201-254`) — a separate
+    scalar-loop implementation in the reference; ours is the same
+    `make_shift_vector` at batch 1."""
+    fn = extract_ref_function("run_inference.py", "make_shift",
+                              class_name="Inference")
+    self_ = _ref_shift_self("voxceleb", 1)
+    rng = np.random.default_rng(5)
+    ps, angs = _rand_coeffs(rng, 1)
+    pt, angt = _rand_coeffs(rng, 1)
+    with cuda_noop(), torch.no_grad():
+        want = fn(self_, torch.from_numpy(angs), torch.from_numpy(angt),
+                  _torch_params(ps), _torch_params(pt)).numpy()
+
+    spec = initialize_directions("voxceleb", 15, 6.0)
+    got = np.asarray(make_shift_vector(spec, ps, pt, jnp.asarray(angs),
+                                       jnp.asarray(angt)))
+    assert got.shape == want.shape == (1, 15)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Latent-shift application (pure latent math; no generator forward)
+# ---------------------------------------------------------------------------
+
+def _ref_shift_code_fns():
+    get_code = extract_ref_function("libs/utilities/generic.py",
+                                    "get_shifted_latent_code")
+    gen_img = extract_ref_function("libs/utilities/generic.py",
+                                   "generate_image",
+                                   namespace={"get_shifted_latent_code":
+                                              get_code})
+    return get_code, gen_img
+
+
+@pytest.mark.parametrize("w_plus,num_layers", [(True, None), (False, None),
+                                               (False, 8)])
+def test_get_shifted_latent_code_live_parity(w_plus, num_layers):
+    """All three shift-application branches (`generic.py:116-135`): W+
+    per-layer shift, W shift broadcast to all rows, W shift on the first
+    `num_layers` rows only."""
+    get_code, _ = _ref_shift_code_fns()
+    n_lat = n_latent_for(64)
+    rng = np.random.default_rng(7)
+    latent = rng.normal(size=(2, n_lat, 512)).astype(np.float32)
+    shift = (rng.normal(size=(2, 8, 512)) if w_plus
+             else rng.normal(size=(2, 512))).astype(np.float32) * 0.1
+
+    g_stub = types.SimpleNamespace(n_latent=n_lat)  # only attr the ref reads
+    with torch.no_grad():
+        want = get_code(g_stub, torch.from_numpy(latent),
+                        torch.from_numpy(shift), input_is_latent=True,
+                        w_plus=w_plus, num_layers=num_layers).numpy()
+
+    g_params = {"meta": {"size": 64}}  # only meta the jax side reads
+    got = np.asarray(get_shifted_latent_code(
+        g_params, jnp.asarray(latent), jnp.asarray(shift),
+        input_is_latent=True, w_plus=w_plus, num_layers=num_layers))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# The composed chain: coefficients → Δp → A → shift → synthesis (pixels)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_latent_side_reenactment_chain_live_parity():
+    """End-to-end latent-side reenactment against the live reference stack:
+    the reference's own `make_shift` → `DirectionMatrix` →
+    `generate_image(shift_code=...)` through the real `model.py` Generator
+    on CPU, versus our `make_shift_vector` → converted A →
+    `generate_image`. Coefficient extraction (DECA) has its own live
+    parity; from coefficients to pixels this covers everything
+    `run_inference.py:170-195` does per frame."""
+    mod = load_generator_module()
+    torch.manual_seed(51)
+    g = mod.Generator(64, 512, 8, channel_multiplier=1).eval()
+    g_params = convert_stylegan2_generator(g.state_dict(), size=64,
+                                           channel_multiplier=1)
+
+    install_reference_path()
+    from libs.models.direction_matrix import DirectionMatrix
+    a_ref = DirectionMatrix(shift_dim=512, input_dim=15, out_dim=512,
+                            w_plus=True, num_layers=8).eval()
+    a_params = convert_direction_matrix(
+        {"A_matrix": a_ref.state_dict(), "w_plus": True,
+         "num_layers_shift": 8})
+
+    # truncation latent (deterministic): mean W over a fixed z batch
+    torch.manual_seed(52)
+    zt = torch.randn(128, 512)
+    with torch.no_grad():
+        trunc_t = g.style(zt).mean(0, keepdim=True)
+
+    rng = np.random.default_rng(9)
+    ps, angs = _rand_coeffs(rng, 1)
+    pt, angt = _rand_coeffs(rng, 1)
+    n_lat = n_latent_for(64)
+    latent = rng.normal(size=(1, n_lat, 512)).astype(np.float32)
+
+    # --- reference chain ---------------------------------------------------
+    make_shift = extract_ref_function("run_inference.py", "make_shift",
+                                      class_name="Inference")
+    _, ref_generate = _ref_shift_code_fns()
+    self_ = _ref_shift_self("voxceleb", 1)
+    with cuda_noop(), torch.no_grad():
+        dp_ref = make_shift(self_, torch.from_numpy(angs),
+                            torch.from_numpy(angt), _torch_params(ps),
+                            _torch_params(pt))
+        shift_ref = a_ref(dp_ref)
+        want = ref_generate(g, torch.from_numpy(latent), truncation=0.7,
+                            trunc=trunc_t, w_plus=True, num_layers_shift=8,
+                            shift_code=shift_ref,
+                            input_is_latent=True).numpy()
+
+    # --- ours ----------------------------------------------------------------
+    spec = initialize_directions("voxceleb", 15, 6.0)
+    dp = make_shift_vector(spec, ps, pt, jnp.asarray(angs),
+                           jnp.asarray(angt))
+    np.testing.assert_allclose(np.asarray(dp), dp_ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    shift = direction_matrix_forward(a_params, dp)
+    np.testing.assert_allclose(np.asarray(shift), shift_ref.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    got = generate_image(
+        g_params, jnp.asarray(latent), truncation=0.7,
+        truncation_latent=jnp.asarray(trunc_t.numpy()), w_plus=True,
+        num_layers_shift=8, shift_code=shift, input_is_latent=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               want.transpose(0, 2, 3, 1),
+                               rtol=1e-3, atol=2e-4)
