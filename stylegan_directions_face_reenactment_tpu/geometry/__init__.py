@@ -9,5 +9,6 @@ from .rotations import (deg2rad, rad2deg, euler_to_quaternion,
                         batch_orth_proj)
 from .directions import (DirectionsSpec, initialize_directions,
                          get_direction_ranges, make_shift_vector,
-                         make_shift_vector_50, get_params_gt_reenacted,
+                         make_shift_vector_50, make_shift_vector_50_from,
+                         get_params_gt_reenacted,
                          start_positions, get_direction_info, DATASET_DICTS)

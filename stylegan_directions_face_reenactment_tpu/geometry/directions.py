@@ -185,6 +185,37 @@ def make_shift_vector(spec: DirectionsSpec,
             - start_positions(spec, param_source, angles_source))
 
 
+def make_shift_vector_50_from(spec: DirectionsSpec,
+                              param_source: Dict[str, jnp.ndarray],
+                              param_target: Dict[str, jnp.ndarray],
+                              angles_source: jnp.ndarray,
+                              angles_target: jnp.ndarray,
+                              target_indices: jnp.ndarray,
+                              u: jnp.ndarray) -> jnp.ndarray:
+    """Disentanglement-50 construction with the random draws made explicit:
+    ``target_indices`` (B/2,) picks the single direction per second-half
+    sample and ``u`` (B/2, in [0,1)) its uniform shift position. Pure — the
+    live-parity tests drive it with the reference's exact draws; production
+    goes through :func:`make_shift_vector_50`."""
+    b = angles_source.shape[0]
+    half = b // 2
+    k = spec.learned_directions
+
+    full = make_shift_vector(spec, param_source, param_target,
+                             angles_source, angles_target)
+
+    start = start_positions(spec, param_source, angles_source)[half:]  # (half,k)
+    start_sel = jnp.take_along_axis(start, target_indices[:, None], axis=1)[:, 0]
+    min_shift = -spec.shift_scale - start_sel
+    max_shift = spec.shift_scale - start_sel
+    shift_val = (min_shift - max_shift) * u + max_shift
+
+    second = jnp.zeros((half, k), jnp.float32)
+    second = second.at[jnp.arange(half), target_indices].set(shift_val)
+
+    return jnp.concatenate([full[:half], second], axis=0)
+
+
 def make_shift_vector_50(spec: DirectionsSpec,
                          param_source: Dict[str, jnp.ndarray],
                          param_target: Dict[str, jnp.ndarray],
@@ -203,23 +234,12 @@ def make_shift_vector_50(spec: DirectionsSpec,
     half = b // 2
     k = spec.learned_directions
 
-    full = make_shift_vector(spec, param_source, param_target,
-                             angles_source, angles_target)
-
     k_ind, k_shift = jax.random.split(rng)
     target_indices = jax.random.randint(k_ind, (half,), 0, k)
-
-    start = start_positions(spec, param_source, angles_source)[half:]  # (half,k)
-    start_sel = jnp.take_along_axis(start, target_indices[:, None], axis=1)[:, 0]
-    min_shift = -spec.shift_scale - start_sel
-    max_shift = spec.shift_scale - start_sel
     u = jax.random.uniform(k_shift, (half,))
-    shift_val = (min_shift - max_shift) * u + max_shift
-
-    second = jnp.zeros((half, k), jnp.float32)
-    second = second.at[jnp.arange(half), target_indices].set(shift_val)
-
-    shift_vector = jnp.concatenate([full[:half], second], axis=0)
+    shift_vector = make_shift_vector_50_from(
+        spec, param_source, param_target, angles_source, angles_target,
+        target_indices, u)
     return shift_vector, target_indices
 
 

@@ -221,6 +221,121 @@ def test_get_shifted_latent_code_live_parity(w_plus, num_layers):
 
 
 # ---------------------------------------------------------------------------
+# Disentanglement-50 batch + ground-truth reenacted coefficients
+# ---------------------------------------------------------------------------
+
+class _TorchRandQueue:
+    """torch proxy whose `rand` pops predetermined uniforms (the reference
+    draws one `torch.rand(1, device='cuda')` per second-half sample,
+    `utils_train.py:240-286`) — device kwarg ignored so it runs on CPU."""
+
+    def __init__(self, values):
+        self._q = [torch.tensor([float(v)]) for v in values]
+
+    def __getattr__(self, name):
+        return getattr(torch, name)
+
+    def rand(self, *args, **kwargs):
+        return self._q.pop(0)
+
+
+def _fixed_draws(half=8):
+    """Direction indices covering every branch (yaw/pitch/roll/jaw/exp) and
+    their uniform shift positions."""
+    idx = np.array([0, 1, 2, 3, 4, 9, 14, 7][:half])
+    u = np.linspace(0.05, 0.95, half).astype(np.float32)
+    return idx, u
+
+
+def test_make_shift_vector_50_live_parity():
+    """The disentanglement-50 batch (`utils_train.py:177-288`): first half
+    full Δp, second half one random direction with a uniform shift inside
+    [-shift_scale, shift_scale] of the source's current position. The
+    reference's np.random.choice / torch.rand draws are injected so both
+    sides construct from identical randomness."""
+    from stylegan_directions_face_reenactment_tpu.geometry import (
+        make_shift_vector_50_from)
+    b = 16
+    half = b // 2
+    idx, u = _fixed_draws(half)
+
+    np_proxy = types.SimpleNamespace(
+        asarray=np.asarray,
+        random=types.SimpleNamespace(choice=lambda arr, size: idx.copy()))
+    fn = extract_ref_function(
+        "libs/utilities/utils_train.py", "make_shift_vector_50",
+        class_name="Utilities_train",
+        namespace={"np": np_proxy, "torch": _TorchRandQueue(u)})
+    self_ = _ref_shift_self("voxceleb", b)
+    rng = np.random.default_rng(11)
+    ps, angs = _rand_coeffs(rng, b)
+    pt, angt = _rand_coeffs(rng, b)
+    with cuda_noop(), torch.no_grad():
+        want, want_idx = fn(self_, _torch_params(ps), _torch_params(pt),
+                            torch.from_numpy(angs), torch.from_numpy(angt))
+
+    spec = initialize_directions("voxceleb", 15, 6.0)
+    got = np.asarray(make_shift_vector_50_from(
+        spec, ps, pt, jnp.asarray(angs), jnp.asarray(angt),
+        jnp.asarray(idx), jnp.asarray(u)))
+    np.testing.assert_array_equal(np.asarray(want_idx), idx)
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def _load_ref_rotation_converter():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_rotconv",
+        f"{REF}/libs/DECA/decalib/utils/rotation_converter.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_get_params_gt_reenacted_live_parity():
+    """Ground-truth FLAME coefficients for the single-direction half
+    (`utils_train.py:291-374`), incl. the euler→axis conversion with the
+    (x, y) → (y, −x) component swap, run with the reference's own rotation
+    converters."""
+    from stylegan_directions_face_reenactment_tpu.geometry import (
+        get_params_gt_reenacted, make_shift_vector_50_from)
+    rc = _load_ref_rotation_converter()
+    b = 16
+    half = b // 2
+    idx, u = _fixed_draws(half)
+
+    rng = np.random.default_rng(13)
+    ps, angs = _rand_coeffs(rng, b)
+    pt, angt = _rand_coeffs(rng, b)
+    spec = initialize_directions("voxceleb", 15, 6.0)
+    shift_vec = np.asarray(make_shift_vector_50_from(
+        spec, ps, pt, jnp.asarray(angs), jnp.asarray(angt),
+        jnp.asarray(idx), jnp.asarray(u)))
+
+    fn = extract_ref_function(
+        "libs/utilities/utils_train.py", "get_params_gt_reenacted",
+        class_name="Utilities_train",
+        namespace={"np": np, "batch_euler2axis": rc.batch_euler2axis,
+                   "deg2rad": rc.deg2rad, "rad2deg": rc.rad2deg,
+                   "batch_axis2euler": rc.batch_axis2euler})
+    self_ = _ref_shift_self("voxceleb", b)
+    self_.batch_size = b
+    with cuda_noop(), torch.no_grad():
+        want = fn(self_, _torch_params(ps), _torch_params(pt),
+                  torch.from_numpy(shift_vec), idx,
+                  torch.from_numpy(angs))
+
+    jtree = lambda d: {k: jnp.asarray(v) for k, v in d.items()}
+    got = get_params_gt_reenacted(spec, jtree(ps), jtree(pt),
+                                  jnp.asarray(shift_vec),
+                                  jnp.asarray(idx), jnp.asarray(angs))
+    np.testing.assert_allclose(np.asarray(got["pose"]),
+                               want["pose"].numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["exp"]),
+                               want["exp"].numpy(), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
 # The composed chain: coefficients → Δp → A → shift → synthesis (pixels)
 # ---------------------------------------------------------------------------
 
