@@ -37,7 +37,11 @@ def _pad_and_fade(img: np.ndarray, x1: int, x2: int, y1: int, y2: int,
     bottom = max(y2 - h0, 0)
     left = -min(0, x1)
     right = max(x2 - w0, 0)
-    img_p = np.pad(img, ((top, bottom), (left, right), (0, 0)), mode="reflect")
+    # numpy 'symmetric' == cv2.BORDER_REFLECT (edge pixel duplicated), the
+    # reference's border mode (`ffhq_cropping.py:16-17`); numpy 'reflect'
+    # would be BORDER_REFLECT_101 and shifts the padded content by one px
+    img_p = np.pad(img, ((top, bottom), (left, right), (0, 0)),
+                   mode="symmetric")
 
     y2 += top
     y1 += top

@@ -216,6 +216,40 @@ def test_crop_using_landmarks_out_of_frame(rng):
     assert out is not None and out.shape == (256, 256, 3)
 
 
+def test_crop_using_landmarks_live_reference_parity(rng):
+    """EXACT (bit-for-bit) equality with the reference's own
+    `crop_using_landmarks` (`ffhq_cropping.py:49-69`, pure CPU, imported
+    live) — in-frame AND out-of-frame boxes. The out-of-frame path needs
+    numpy 'symmetric' padding (== cv2.BORDER_REFLECT, edge pixel
+    duplicated); 'reflect' (BORDER_REFLECT_101) shifts the padded content
+    one pixel and cost up to 5 intensity units before this was fixed."""
+    from ref_loader import install_reference_path
+    install_reference_path()
+    from libs.face_models.ffhq_cropping import (
+        crop_using_landmarks as ref_crop)
+    img = (rng.rand(480, 480, 3) * 255).astype(np.uint8)
+    hit_oob = hit_in = 0
+    for t in range(20):
+        # even t: centered (in-frame) boxes; odd t: offsets spanning every
+        # edge so the pad+fade slow path is exercised too
+        off = (rng.uniform(160, 220, (1, 2)) if t % 2 == 0
+               else rng.uniform(-80, 420, (1, 2)))
+        lms = (rng.rand(68, 2) * 120 + off).astype(np.float32)
+        want = ref_crop(img.copy(), lms.copy())
+        got = crop_using_landmarks(img, lms)
+        assert (want is None) == (got is None)
+        if want is None:
+            continue
+        np.testing.assert_array_equal(got, np.asarray(want))
+        c = ((lms.min(0) + lms.max(0)) / 2).round()
+        s = int(max(np.ptp(lms[:, 0]), np.ptp(lms[:, 1])))
+        oob = (c[0] - s < 0 or c[1] - s - s // 6 < 0
+               or c[0] + s > 480 or c[1] + s - s // 6 > 480)
+        hit_oob += oob
+        hit_in += not oob
+    assert hit_oob >= 3 and hit_in >= 3  # both paths actually exercised
+
+
 def test_detect_faces_shapes(rng):
     p = init_s3fd(jax.random.PRNGKey(0))
     imgs = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32) * 255)
