@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True,
                    help="on-device FFHQ crop (--no-device_crop = PIL-exact "
                         "host path)")
+    p.add_argument("--detect_width", type=int, default=None,
+                   help="pre-detection rescale width (default: the "
+                        "reference's 1000; 0 = native frame size)")
     p.add_argument("--reuse_landmarks", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="single-detection pipeline (see run_inference): "
@@ -141,7 +144,8 @@ def main(argv=None):
                          "bbox-based --deca_alignment (fan/fan_frame)")
     prep = make_prep_fn(sfd, fan, skip_preprocess=args.skip_preprocess,
                         device_crop=args.device_crop,
-                        return_landmarks=args.reuse_landmarks)
+                        return_landmarks=args.reuse_landmarks,
+                        detect_width=args.detect_width)
 
     # --- frames -----------------------------------------------------------
     frames = _load_target_frames(args.target_path, args.video_stride)

@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=True,
                    help="on-device FFHQ crop like the other CLIs "
                         "(--no-device_crop = PIL-exact host path)")
+    p.add_argument("--detect_width", type=int, default=None,
+                   help="pre-detection rescale width (default: the "
+                        "reference's 1000; 0 = native frame size)")
     p.add_argument("--deca_alignment", default="fan",
                    choices=["fan", "fan_frame", "resize"],
                    help="DECA preprocessing: 'fan' = reference SFD-crop→FAN "
@@ -116,7 +119,8 @@ def main(argv=None):
         else:
             sfd, fan = load_face_models(random_init=args.random_init)
         prep = make_prep_fn(sfd, fan, skip_preprocess=args.skip_preprocess,
-                            device_crop=args.device_crop)
+                            device_crop=args.device_crop,
+                            detect_width=args.detect_width)
         lp = (load_lpips(random_init=args.random_init)
               if args.optimize_generator else None)
         (source_img, source_code, g, params_source,

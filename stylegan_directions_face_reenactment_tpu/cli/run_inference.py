@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "intensity unit vs the PIL host path; out-of-frame "
                         "boxes still take the host pad+fade path). "
                         "--no-device_crop forces the host-exact crop")
+    p.add_argument("--detect_width", type=int, default=None,
+                   help="rescale frames to this width before detection "
+                        "(default: the reference's unconditional 1000, "
+                        "`utils_inference.py:67`; 0 = detect at native "
+                        "frame size — faster, documented fast path)")
     p.add_argument("--reuse_landmarks", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="single-detection pipeline: feed the preprocessing "
@@ -139,7 +144,8 @@ def main(argv=None):
                          "bbox-based --deca_alignment (fan/fan_frame)")
     prep = make_prep_fn(sfd, fan, skip_preprocess=args.skip_preprocess,
                         device_crop=args.device_crop,
-                        return_landmarks=args.reuse_landmarks)
+                        return_landmarks=args.reuse_landmarks,
+                        detect_width=args.detect_width)
 
     # --- source -----------------------------------------------------------
     ext = args.source_path.rsplit(".", 1)[-1].lower()

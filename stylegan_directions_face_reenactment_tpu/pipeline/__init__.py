@@ -5,8 +5,8 @@ from .inversion import invert_image
 from .pti import optimize_g, split_tunable, TUNED_CONV_RANGE
 from .reenactment import reenact_batch, make_reenact_fn, source_shape
 from .editing import sweep_direction, one_hot_shift
-from .preprocess import (preprocess_images, resize_max_side, to_gan_range,
-                         MAX_SIDE)
+from .preprocess import (preprocess_images, resize_width, to_gan_range,
+                         DETECT_WIDTH)
 from .alignment import (make_fan_align, landmark_align, kpt68_center_size,
                         warp_to_224)
 from .source_setup import make_prep_fn, setup_source, CROP_SIZE

@@ -1,14 +1,15 @@
 """Image preprocessing: detect → landmarks → FFHQ crop → [-1,1] tensor.
 
 Equivalent of `libs/utilities/utils_inference.py:61-82` (`preprocess_image`):
-resize so max side = 1000, run SFD+FAN landmarks, landmark-crop to 256,
+resize to width 1000 (ALWAYS — the reference upscales small inputs too, so
+SFD sees large faces), run SFD+FAN landmarks, landmark-crop to 256,
 normalize to [-1, 1]. The detector/landmark half runs batched on device;
 the FFHQ crop (reflect-pad + fade) stays host-side like the reference.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -18,18 +19,26 @@ from ..models.face import estimate_landmarks
 
 Params = Dict[str, Any]
 
-MAX_SIDE = 1000  # `utils_inference.py:64-69`
+DETECT_WIDTH = 1000  # `utils_inference.py:67` image_resize(width=1000)
 
 
-def resize_max_side(image: np.ndarray, max_side: int = MAX_SIDE) -> np.ndarray:
-    """Resize so the longer side equals ``max_side`` if it exceeds it."""
+def resize_width(image: np.ndarray, width: int = DETECT_WIDTH) -> np.ndarray:
+    """Rescale so the image width equals ``width`` (up- OR down-scaling,
+    aspect preserved) — the reference's `image_resize(width=1000)`
+    (`image_utils.py:36-66`, cv2.INTER_AREA). Uses cv2 when importable
+    (exact); otherwise PIL (BOX ≈ area for downscale, BILINEAR for
+    upscale — approximate, cv2's INTER_AREA upscale has its own weights)."""
     h, w = image.shape[:2]
-    m = max(h, w)
-    if m <= max_side:
+    if w == width:
         return image
-    scale = max_side / m
-    new = (int(round(w * scale)), int(round(h * scale)))
-    return np.array(Image.fromarray(image).resize(new, Image.BILINEAR))
+    r = width / float(w)
+    dim = (width, int(h * r))
+    try:
+        import cv2
+        return cv2.resize(image, dim, interpolation=cv2.INTER_AREA)
+    except ImportError:
+        resample = Image.BOX if width < w else Image.BILINEAR
+        return np.array(Image.fromarray(image).resize(dim, resample))
 
 
 def to_gan_range(image_uint8: np.ndarray) -> np.ndarray:
@@ -62,10 +71,17 @@ def preprocess_images(s3fd_params: Params, fan_params: Params,
                       images: List[np.ndarray],
                       image_size: int = 256,
                       device_crop: bool = False,
-                      return_landmarks: bool = False
+                      return_landmarks: bool = False,
+                      detect_width: Optional[int] = DETECT_WIDTH
                       ) -> Tuple[np.ndarray, ...]:
     """Batch preprocess: list of HWC uint8 RGB frames → (B, 256, 256, 3)
     float32 in [-1, 1] + validity mask (B,).
+
+    ``detect_width``: rescale every frame to this width before detection
+    (the reference does this unconditionally at 1000,
+    `utils_inference.py:67` — small inputs are UPSCALED so SFD sees large
+    faces). None/0 detects at the native frame size (faster; documented
+    fast path — detection confidence can differ on small faces).
 
     Device part (detection + landmarks) is batched per unique input
     resolution. The FFHQ crop runs host-side by default (native threaded
@@ -77,7 +93,8 @@ def preprocess_images(s3fd_params: Params, fan_params: Params,
     device↔host transfer; the zero-round-trip variant is
     `preprocess_batch_device` (used fused into the bench/serving path).
     """
-    resized = [resize_max_side(im) for im in images]
+    resized = ([resize_width(im, detect_width) for im in images]
+               if detect_width else [np.asarray(im) for im in images])
 
     # bucket by shape so each bucket is one fixed-shape device call
     buckets: Dict[Tuple[int, int], List[int]] = {}

@@ -34,7 +34,8 @@ def pad_batch(x: np.ndarray, pad: int) -> np.ndarray:
 def make_prep_fn(s3fd_params: Optional[Params], fan_params: Optional[Params],
                  *, skip_preprocess: bool = False, device_crop: bool = True,
                  crop_size: int = CROP_SIZE,
-                 return_landmarks: bool = False) -> Callable:
+                 return_landmarks: bool = False,
+                 detect_width: Optional[int] = None) -> Callable:
     """frames (list of HWC uint8) → ((B, 256, 256, 3) [-1,1], ok mask).
 
     ``skip_preprocess``: inputs are already FFHQ-cropped faces — plain
@@ -42,7 +43,10 @@ def make_prep_fn(s3fd_params: Optional[Params], fan_params: Optional[Params],
     FFHQ-crop chain (`utils_inference.py:61-82`).
     ``return_landmarks``: also return the detection landmarks mapped into
     crop coordinates (single-detection pipelines; incompatible with
-    skip_preprocess, which never detects)."""
+    skip_preprocess, which never detects).
+    ``detect_width``: pre-detection rescale width; None = the reference's
+    unconditional 1000 (`preprocess.DETECT_WIDTH`), 0 = detect at native
+    frame size."""
     if return_landmarks and skip_preprocess:
         raise ValueError("return_landmarks requires the detection prep "
                          "(incompatible with skip_preprocess)")
@@ -54,11 +58,14 @@ def make_prep_fn(s3fd_params: Optional[Params], fan_params: Optional[Params],
                                        (crop_size, crop_size))
             return (batch.astype(np.float32) / 127.5 - 1.0,
                     np.ones(len(frames), bool))
-        from .preprocess import preprocess_images
+        from .preprocess import DETECT_WIDTH, preprocess_images
         return preprocess_images(s3fd_params, fan_params, frames,
                                  image_size=crop_size,
                                  device_crop=device_crop,
-                                 return_landmarks=return_landmarks)
+                                 return_landmarks=return_landmarks,
+                                 detect_width=(DETECT_WIDTH
+                                               if detect_width is None
+                                               else detect_width))
 
     return prep
 

@@ -61,8 +61,11 @@ def test_facial_editing_full_preprocess_path(tmp_path):
         main)
     out = tmp_path / "edit_pp"
     try:
+        # --detect_width 0: native-size detection keeps the CPU SFD forward
+        # tractable; the default 1000-width rescale (reference parity) is
+        # unit-tested against the live reference resize
         main(["--source_path", PNG, "--output_path", str(out),
-              "--directions", "0", "--random_init",
+              "--directions", "0", "--random_init", "--detect_width", "0",
               "--image_resolution", RES, "--shifts_count", "2"])
     except RuntimeError as e:
         assert "no face detected" in str(e)

@@ -285,6 +285,28 @@ def test_ffhq_crop_device_matches_host(rng):
     assert not inf[0] and inf[1:].all()
 
 
+def test_resize_width_live_reference_parity(rng):
+    """The pre-detection rescale replicates the reference's
+    `image_resize(width=1000)` (`image_utils.py:36-66`) exactly: ALWAYS to
+    the target width (upscaling small inputs too), aspect preserved,
+    cv2.INTER_AREA."""
+    cv2 = pytest.importorskip("cv2")
+    from ref_loader import extract_ref_function
+    # AST-extracted: the host module imports torchvision at module level
+    ref_resize = extract_ref_function("libs/utilities/image_utils.py",
+                                      "image_resize",
+                                      namespace={"cv2": cv2})
+    from stylegan_directions_face_reenactment_tpu.pipeline.preprocess import (
+        resize_width)
+    for h, w in [(256, 256), (480, 640), (1080, 1920), (1000, 1000)]:
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        want, scale = ref_resize(img, width=1000)
+        got = resize_width(img, 1000)
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want)
+        assert scale == 1000 / float(w)
+
+
 def test_preprocess_images_device_crop_matches_host(rng):
     """preprocess_images(device_crop=True) == the host path within 1 LSB of
     the u8 quantization (1/127.5 in GAN range) when detection succeeds."""
@@ -297,9 +319,12 @@ def test_preprocess_images_device_crop_matches_host(rng):
     sfd, fan = init_s3fd(ks[0]), init_fan(ks[1])
     frames = [(rng.rand(128, 128, 3) * 255).astype(np.uint8)
               for _ in range(2)]
-    host, ok_h = preprocess_images(sfd, fan, frames, image_size=64)
+    # detect_width=0: native size keeps the CPU SFD forward small; the
+    # default (reference) 1000-width rescale has its own live parity test
+    host, ok_h = preprocess_images(sfd, fan, frames, image_size=64,
+                                   detect_width=0)
     dev, ok_d = preprocess_images(sfd, fan, frames, image_size=64,
-                                  device_crop=True)
+                                  device_crop=True, detect_width=0)
     np.testing.assert_array_equal(ok_h, ok_d)
     # random-init detectors rarely clear the gate; when they do, compare
     for i in range(2):
