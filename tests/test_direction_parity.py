@@ -220,6 +220,32 @@ def test_get_shifted_latent_code_live_parity(w_plus, num_layers):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
+def test_get_direction_info_live_parity():
+    """Editing-sweep metadata for every direction
+    (`config_directions.py:42-85`, imported live — numpy-only module):
+    type label, start position, min/max shift, step."""
+    from stylegan_directions_face_reenactment_tpu.geometry import (
+        get_direction_info)
+    install_reference_path()
+    from libs.configs.config_directions import (
+        get_direction_info as ref_info)
+    (count_pose, _n_exp, directions_exp, jaw_dict, angle_scales,
+     angle_directions) = _ref_initialize_directions("voxceleb")
+    spec = initialize_directions("voxceleb", 15, 6.0)
+    rng = np.random.default_rng(17)
+    ps, angs = _rand_coeffs(rng, 1)
+    tps = _torch_params(ps)
+    tang = torch.from_numpy(angs)
+    for direction in range(15):
+        want = ref_info(direction, angle_directions, jaw_dict["a"],
+                        jaw_dict["b"], directions_exp, 6.0, angle_scales,
+                        count_pose, 10, tps, tang)
+        got = get_direction_info(spec, direction, ps, angs, shifts_count=10)
+        assert got[0] == want[0]                       # type label
+        np.testing.assert_allclose(got[1:], [float(v) for v in want[1:]],
+                                   rtol=1e-5, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # Disentanglement-50 batch + ground-truth reenacted coefficients
 # ---------------------------------------------------------------------------
