@@ -85,7 +85,8 @@ def _ref_shift_self(dataset_type, batch_size, learned_directions=15,
         roll_direction=d["roll_direction"],
         count_pose=count_pose, num_expressions=num_expressions,
         directions_exp=directions_exp, angle_scales=angle_scales,
-        a_jaw=jaw_dict["a"], b_jaw=jaw_dict["b"])
+        a_jaw=jaw_dict["a"], b_jaw=jaw_dict["b"],
+        min_jaw=jaw_dict["min"], max_jaw=jaw_dict["max"])
 
 
 def _rand_coeffs(rng, b):
@@ -359,6 +360,37 @@ def test_get_params_gt_reenacted_live_parity():
                                want["pose"].numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got["exp"]),
                                want["exp"].numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_extract_evaluation_metrics_live_parity():
+    """The CSIM/pose/expression eval metrics (`utils_train.py:695-732`) —
+    the numbers the BASELINE 1% gate adjudicates. The reference method runs
+    extracted, with its ArcFace id loss stubbed to a constant (the backbone
+    itself has separate live parity); pose and normalized-expression errors
+    must match our `pose_error`/`expression_error` on the reference's
+    batch-index-[0] protocol."""
+    from stylegan_directions_face_reenactment_tpu.train.eval import (
+        expression_error, pose_error)
+    fn = extract_ref_function("libs/utilities/utils_train.py",
+                              "extract_evaluation_metrics",
+                              class_name="Utilities_train",
+                              namespace={"np": np})
+    self_ = _ref_shift_self("voxceleb", 1)
+    self_.id_loss_ = lambda a, b: torch.tensor(0.25)
+    rng = np.random.default_rng(19)
+    ps, angs = _rand_coeffs(rng, 1)
+    pt, angt = _rand_coeffs(rng, 1)
+    with cuda_noop(), torch.no_grad():
+        want_csim, want_pose, want_exp = fn(
+            self_, _torch_params(ps), _torch_params(pt),
+            torch.from_numpy(angs), torch.from_numpy(angt), None, None)
+    assert want_csim == 0.75
+
+    spec = initialize_directions("voxceleb", 15, 6.0)
+    got_pose = float(pose_error(jnp.asarray(angs), jnp.asarray(angt))[0])
+    got_exp = float(expression_error(spec, ps, pt)[0])
+    np.testing.assert_allclose(got_pose, float(want_pose), rtol=1e-5)
+    np.testing.assert_allclose(got_exp, float(want_exp), rtol=1e-4)
 
 
 # ---------------------------------------------------------------------------

@@ -166,6 +166,51 @@ def test_eye_mouth_losses_match_reference_math(rng):
                                want_m, rtol=1e-5)
 
 
+def test_shape_losses_live_reference_parity(rng):
+    """All four `libs/criteria/losses.py::Losses` methods imported live
+    (pure torch): pixel L1, vertex L1 (both normalize modes), eye and mouth
+    pairwise-distance losses."""
+    from ref_loader import install_reference_path
+    install_reference_path()
+    from libs.criteria.losses import Losses
+    L = Losses()
+    a = rng.randn(3, 16, 16, 3).astype(np.float32)
+    b = rng.randn(3, 16, 16, 3).astype(np.float32)
+    with torch.no_grad():
+        want_px = float(L.calculate_pixel_wise_loss(torch.from_numpy(b),
+                                                    torch.from_numpy(a)))
+    np.testing.assert_allclose(
+        float(pixel_wise_loss(jnp.asarray(a), jnp.asarray(b))), want_px,
+        rtol=1e-6)
+
+    v1 = rng.randn(2, 120, 3).astype(np.float32)
+    v2 = rng.randn(2, 120, 3).astype(np.float32)
+    lm1 = rng.randn(2, 68, 2).astype(np.float32)
+    lm2 = rng.randn(2, 68, 2).astype(np.float32)
+    with torch.no_grad():
+        want_s = float(L.calculate_shape_loss(torch.from_numpy(v1),
+                                              torch.from_numpy(v2)))
+        want_sn = float(L.calculate_shape_loss(torch.from_numpy(v1),
+                                               torch.from_numpy(v2),
+                                               normalize=True))
+        want_eye = float(L.calculate_eye_loss(torch.from_numpy(lm1),
+                                              torch.from_numpy(lm2)))
+        want_mouth = float(L.calculate_mouth_loss(torch.from_numpy(lm1),
+                                                  torch.from_numpy(lm2)))
+    np.testing.assert_allclose(
+        float(shape_loss(jnp.asarray(v1), jnp.asarray(v2))), want_s,
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        float(shape_loss(jnp.asarray(v1), jnp.asarray(v2), normalize=True)),
+        want_sn, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(eye_loss(jnp.asarray(lm1), jnp.asarray(lm2))), want_eye,
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        float(mouth_loss(jnp.asarray(lm1), jnp.asarray(lm2))), want_mouth,
+        rtol=1e-5)
+
+
 def test_pti_loss(alex_pair, rng):
     _, _, params = alex_pair
     gen = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
