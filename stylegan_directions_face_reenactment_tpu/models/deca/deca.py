@@ -217,7 +217,9 @@ def calculate_shapemodel(params: Params, images: jnp.ndarray,
     keeps f32 end to end (the training default and exact parity).
     """
     if image_space == "gan":
-        images = (jnp.clip(images, -1.0, 1.0) + 1.0) / 2.0
+        # reference chain: torch_range_1_to_255 (with its /(2+1e-5) epsilon,
+        # `image_utils.py:87-94`) then /255 inside the DECA dataset warp
+        images = (jnp.clip(images, -1.0, 1.0) + 1.0) / 2.00001
     elif image_space == "255":
         images = images / 255.0
     ok = None

@@ -108,9 +108,11 @@ def calculate_losses_paired(deca_params: Params, id_params: Params,
     total = 0.0
     b = imgs_shifted.shape[0]
 
-    # [0, 255]-range quirk of the paired path (`:438-439`)
-    shifted_255 = (jnp.clip(imgs_shifted, -1, 1) + 1.0) * 127.5
-    target_255 = (jnp.clip(imgs_target, -1, 1) + 1.0) * 127.5
+    # [0, 255]-range quirk of the paired path (`:438-439`), through the
+    # reference's exact torch_range_1_to_255 (incl. its /(2+1e-5) epsilon)
+    from ..utils.image_utils import torch_range_1_to_255
+    shifted_255 = torch_range_1_to_255(imgs_shifted)
+    target_255 = torch_range_1_to_255(imgs_target)
 
     if lambdas["lambda_shape"] > 0:
         coeff_gt = {"pose": jax.lax.stop_gradient(params_target["pose"]),

@@ -9,8 +9,11 @@ from PIL import Image
 
 
 def torch_range_1_to_255(x):
-    """[-1, 1] → [0, 255] (`image_utils.py:87-105` semantics), jnp or numpy."""
-    return (jnp.clip(x, -1.0, 1.0) + 1.0) * 127.5
+    """[-1, 1] → [0, 255] (`image_utils.py:87-94`, EXACT semantics incl.
+    the reference's /(2 + 1e-5) epsilon — full range maps to
+    [0, 254.99873], not [0, 255]), jnp or numpy. Feeds the DECA input and
+    paired-loss conversions, so the epsilon matters for bit-parity."""
+    return (jnp.clip(x, -1.0, 1.0) + 1.0) / 2.00001 * 255.0
 
 
 def torch_range_255_to_1(x):

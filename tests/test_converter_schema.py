@@ -25,17 +25,27 @@ from stylegan_directions_face_reenactment_tpu.weights import torch_convert as tc
 
 
 def _stub_modules(*names):
-    """Stub heavy/absent vision deps (cv2, skimage, torchvision, ...) that
+    """Stub ABSENT vision deps (skimage, torchvision, kornia, ...) that
     reference modules import at module level but never use for the
-    state_dict layout we read."""
+    state_dict layout we read. Deps that really import (e.g. cv2) are
+    imported for real — registering an empty stub for an importable module
+    would poison every later test that needs it (this bit the live crop
+    parity tests in full-suite order once)."""
+    import importlib
     for name in names:
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            sys.modules[name] = mod
-            if "." in name:
-                parent, child = name.rsplit(".", 1)
-                _stub_modules(parent)
-                setattr(sys.modules[parent], child, mod)
+        if name in sys.modules:
+            continue
+        try:
+            importlib.import_module(name)
+            continue
+        except ImportError:
+            pass
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+        if "." in name:
+            parent, child = name.rsplit(".", 1)
+            _stub_modules(parent)
+            setattr(sys.modules[parent], child, mod)
 
 
 def _tree_schema(tree):

@@ -394,6 +394,169 @@ def test_extract_evaluation_metrics_live_parity():
 
 
 # ---------------------------------------------------------------------------
+# Training loss composition (`utils_train.py:376-499`)
+# ---------------------------------------------------------------------------
+
+def _loss_self(lambdas, deca_params, id_params, lpips_params):
+    """Stand-in `self` for the extracted calculate_losses[_paired]: the
+    reference composition logic runs with wrappers around OUR components
+    (each has its own live/golden parity) so the test isolates exactly the
+    composition — λ weights, cam:=[8,0,0] override, coefficient routing,
+    the paired [0,255] quirk, and .detach() placement."""
+    install_reference_path()
+    from libs.criteria.losses import Losses
+    from stylegan_directions_face_reenactment_tpu.losses.id_loss import (
+        id_loss as our_id)
+    from stylegan_directions_face_reenactment_tpu.losses.lpips import (
+        lpips as our_lpips)
+    from stylegan_directions_face_reenactment_tpu.models.deca.deca import (
+        calculate_shape as our_shape)
+
+    def t2j(x):
+        return jnp.asarray(x.detach().numpy())
+
+    def calc_shape(coeffs):
+        lm2, lm3, verts = our_shape(deca_params,
+                                    {k: t2j(v) for k, v in coeffs.items()})
+        return tuple(torch.from_numpy(np.asarray(v)) for v in (lm2, lm3,
+                                                               verts))
+
+    self_ = _ref_shift_self("voxceleb", 16)
+    self_.params = dict(self_.params, **lambdas,
+                        disentanglement_50=True)
+    self_.deca = types.SimpleNamespace(calculate_shape=calc_shape)
+    self_.losses = Losses()
+    self_.id_loss_ = lambda a, b: torch.tensor(
+        float(our_id(id_params, t2j(a), t2j(b))))
+    self_.lpips_loss = lambda a, b: torch.tensor(
+        float(our_lpips(lpips_params, t2j(a), t2j(b))))
+    rc = _load_ref_rotation_converter()
+    gt_fn = extract_ref_function(
+        "libs/utilities/utils_train.py", "get_params_gt_reenacted",
+        class_name="Utilities_train",
+        namespace={"np": np, "batch_euler2axis": rc.batch_euler2axis,
+                   "deg2rad": rc.deg2rad, "rad2deg": rc.rad2deg,
+                   "batch_axis2euler": rc.batch_axis2euler})
+    self_.get_params_gt_reenacted = types.MethodType(gt_fn, self_)
+    self_.batch_size = 16
+    return self_
+
+
+@pytest.fixture(scope="module")
+def loss_nets():
+    import jax
+    from stylegan_directions_face_reenactment_tpu.losses.lpips import (
+        init_lpips_alex)
+    from stylegan_directions_face_reenactment_tpu.models.deca import (
+        init_deca, synthetic_flame_params)
+    from stylegan_directions_face_reenactment_tpu.models.irse import (
+        init_backbone)
+    ks = jax.random.split(jax.random.PRNGKey(23), 3)
+    deca = init_deca(ks[0], synthetic_flame_params(ks[0]), with_detail=False)
+    idb = init_backbone(ks[1])
+    lp = init_lpips_alex(ks[2])
+    return deca, idb, lp
+
+
+LAMBDAS = {"lambda_shape": 1.0, "lambda_mouth_shape": 1.0,
+           "lambda_eye_shape": 1.0, "lambda_identity": 10.0,
+           "lambda_perceptual": 10.0, "lambda_pixel_wise": 1.0,
+           "lambda_w_reg": 0.1}
+
+
+@pytest.mark.slow
+def test_calculate_losses_live_parity(loss_nets):
+    from stylegan_directions_face_reenactment_tpu.geometry import (
+        make_shift_vector_50_from)
+    from stylegan_directions_face_reenactment_tpu.train.losses_stack import (
+        calculate_losses)
+    deca_p, idb, lp = loss_nets
+    b = 16
+    rng = np.random.default_rng(29)
+    ps, angs = _rand_coeffs(rng, b)
+    pt, angt = _rand_coeffs(rng, b)
+    shp = {"alpha_shp": rng.normal(size=(b, 100)).astype(np.float32),
+           "cam": rng.normal(size=(b, 3)).astype(np.float32)}
+    ps = {**ps, **shp}
+    p_shift = {"pose": rng.normal(size=(b, 6)).astype(np.float32) * 0.3,
+               "alpha_exp": rng.normal(size=(b, 50)).astype(np.float32),
+               "alpha_shp": rng.normal(size=(b, 100)).astype(np.float32),
+               "cam": rng.normal(size=(b, 3)).astype(np.float32)}
+    idx, u = _fixed_draws(8)
+    spec = initialize_directions("voxceleb", 15, 6.0)
+    sv = np.asarray(make_shift_vector_50_from(
+        spec, ps, pt, jnp.asarray(angs), jnp.asarray(angt),
+        jnp.asarray(idx), jnp.asarray(u)))
+    imgs_src = rng.uniform(-1, 1, (b, 256, 256, 3)).astype(np.float32)
+    imgs_shift = rng.uniform(-1, 1, (b, 256, 256, 3)).astype(np.float32)
+
+    fn = extract_ref_function("libs/utilities/utils_train.py",
+                              "calculate_losses",
+                              class_name="Utilities_train")
+    self_ = _loss_self(LAMBDAS, deca_p, idb, lp)
+    with cuda_noop(), torch.no_grad():
+        want, want_dict = fn(
+            self_, _torch_params(ps), torch.from_numpy(angs),
+            _torch_params(p_shift), None, _torch_params(pt),
+            torch.from_numpy(angt), torch.from_numpy(sv), idx,
+            torch.from_numpy(imgs_src), torch.from_numpy(imgs_shift))
+
+    jt = lambda d: {k: jnp.asarray(v) for k, v in d.items()}
+    got, got_dict = calculate_losses(
+        deca_p, idb, lp, spec, LAMBDAS, jt(ps), jnp.asarray(angs),
+        jt(p_shift), jt(pt), jnp.asarray(sv), jnp.asarray(idx),
+        jnp.asarray(imgs_src), jnp.asarray(imgs_shift),
+        disentanglement_50=True)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
+    for k in ("loss_shape", "loss_eye", "loss_mouth", "loss_identity",
+              "loss_perceptual"):
+        np.testing.assert_allclose(float(got_dict[k]), want_dict[k],
+                                   rtol=2e-4, atol=1e-6, err_msg=k)
+
+
+@pytest.mark.slow
+def test_calculate_losses_paired_live_parity(loss_nets):
+    from stylegan_directions_face_reenactment_tpu.train.losses_stack import (
+        calculate_losses_paired)
+    deca_p, idb, lp = loss_nets
+    b = 4
+    rng = np.random.default_rng(31)
+    mk = lambda: {"pose": rng.normal(size=(b, 6)).astype(np.float32) * 0.3,
+                  "alpha_exp": rng.normal(size=(b, 50)).astype(np.float32),
+                  "alpha_shp": rng.normal(size=(b, 100)).astype(np.float32),
+                  "cam": rng.normal(size=(b, 3)).astype(np.float32)}
+    p_shift, p_tgt = mk(), mk()
+    imgs_shift = rng.uniform(-1, 1, (b, 256, 256, 3)).astype(np.float32)
+    imgs_tgt = rng.uniform(-1, 1, (b, 256, 256, 3)).astype(np.float32)
+    w_shift = rng.normal(size=(b, 14, 512)).astype(np.float32)
+    w_tgt = rng.normal(size=(b, 14, 512)).astype(np.float32)
+
+    ref_range = extract_ref_function("libs/utilities/image_utils.py",
+                                     "torch_range_1_to_255")
+    fn = extract_ref_function(
+        "libs/utilities/utils_train.py", "calculate_losses_paired",
+        class_name="Utilities_train",
+        namespace={"torch_range_1_to_255": ref_range})
+    self_ = _loss_self(LAMBDAS, deca_p, idb, lp)
+    with cuda_noop(), torch.no_grad():
+        want, want_dict = fn(
+            self_, _torch_params(p_shift), _torch_params(p_tgt),
+            torch.from_numpy(imgs_shift), torch.from_numpy(imgs_tgt),
+            torch.from_numpy(w_shift), torch.from_numpy(w_tgt))
+
+    jt = lambda d: {k: jnp.asarray(v) for k, v in d.items()}
+    got, got_dict = calculate_losses_paired(
+        deca_p, idb, lp, LAMBDAS, jt(p_shift), jt(p_tgt),
+        jnp.asarray(imgs_shift), jnp.asarray(imgs_tgt),
+        jnp.asarray(w_shift), jnp.asarray(w_tgt))
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
+    for k in ("loss_shape", "loss_eye", "loss_mouth", "loss_identity",
+              "loss_perceptual", "loss_pixel_wise", "loss_w_reg"):
+        np.testing.assert_allclose(float(got_dict[k]), want_dict[k],
+                                   rtol=2e-4, atol=1e-6, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
 # The composed chain: coefficients → Δp → A → shift → synthesis (pixels)
 # ---------------------------------------------------------------------------
 
