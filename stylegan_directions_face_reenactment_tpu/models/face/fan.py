@@ -240,16 +240,22 @@ def heatmaps_to_landmarks(hm: jnp.ndarray) -> jnp.ndarray:
 
 def landmarks_to_image_coords(pts: jnp.ndarray, center: jnp.ndarray,
                               scale: jnp.ndarray,
-                              resolution: float = 64.0) -> jnp.ndarray:
+                              resolution: float = 64.0,
+                              truncate: bool = True) -> jnp.ndarray:
     """Map heatmap-frame points back to original-image coords — the inverse
     of the 200·scale crop transform (`fan_model/utils.py:63-97`).
 
-    pts: (B, 68, 2) 1-based heatmap coords; center (B, 2); scale (B,).
-    The reference floors to int (``.int()``); we keep floats and let the
-    caller round, matching within a pixel.
+    pts: (B, 68, 2) heatmap coords as `heatmaps_to_landmarks` emits them
+    (== the reference's `preds` at the transform call); center (B, 2);
+    scale (B,). The reference's `transform` returns ``.int()`` — integer
+    truncation toward zero — and those integer landmarks feed the FFHQ
+    crop box and the DECA kpt68 bbox, so ``truncate=True`` (the default)
+    replicates it exactly (float32 dtype, integer values); live parity:
+    `tests/test_face_models.py::test_landmark_pipeline_live_parity`.
     """
     h = 200.0 * scale[:, None, None]
-    return (pts / resolution) * h + (center[:, None, :] - h / 2.0)
+    out = (pts / resolution) * h + (center[:, None, :] - h / 2.0)
+    return jnp.trunc(out) if truncate else out
 
 
 def init_resnet_depth(key, layers=(3, 8, 36, 3), num_classes: int = 68) -> Params:

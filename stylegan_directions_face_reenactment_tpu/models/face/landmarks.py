@@ -106,7 +106,10 @@ def estimate_landmarks(s3fd_params: Params, fan_params: Params,
     if compute_dtype is not None:
         crops = crops.astype(compute_dtype)
     heatmaps = fan_forward(fan_params, crops)[-1].astype(jnp.float32)
-    pts_hm = heatmaps_to_landmarks(heatmaps) + 1.0   # to 1-based like ref
+    # heatmaps_to_landmarks == the reference's `preds` exactly as fed to
+    # the inverse transform (1-based argmax ± 0.25 refine, then −0.5);
+    # adding anything here shifts every landmark by h/64 in image space
+    pts_hm = heatmaps_to_landmarks(heatmaps)
     pts_img = landmarks_to_image_coords(pts_hm, center, scale)
     return pts_img, ok, heatmaps
 
@@ -127,7 +130,9 @@ def estimate_landmarks_3d(s3fd_params: Params, fan_params: Params,
     center, scale = box_to_center_scale(best)
     crops = crop_faces(images_rgb255, center, scale, 256) / 255.0
     heatmaps = fan_forward(fan_params, crops)[-1]
-    pts_hm = heatmaps_to_landmarks(heatmaps) + 1.0
+    pts_hm = heatmaps_to_landmarks(heatmaps)
     pts_img = landmarks_to_image_coords(pts_hm, center, scale)
+    # reference: `pts.view(68, 2) * 4` — the same post-(−0.5) preds feed
+    # the depth net's gaussians (`landmarks_estimation.py:166-171`)
     depth = predict_depth(depth_params, crops, pts_hm, scale)
     return jnp.concatenate([pts_img, depth[..., None]], axis=-1), ok

@@ -108,7 +108,7 @@ def make_fan_align(fan_params: Params, s3fd_params: Params = None,
             if compute_dtype is not None:
                 fan_in = fan_in.astype(compute_dtype)
             heat = fan_forward(fan_params, fan_in)[-1].astype(jnp.float32)
-            pts = heatmaps_to_landmarks(heat) + 1.0
+            pts = heatmaps_to_landmarks(heat)
             # FAN ran on the full 256 frame: center (128,128), scale 256/200
             lms = landmarks_to_image_coords(
                 pts, jnp.tile(jnp.asarray([[128.0, 128.0]]), (b, 1)),

@@ -166,20 +166,56 @@ def test_heatmap_peaks_match_reference_loop(rng):
                 fx += np.sign(dx) * 0.25
                 fy += np.sign(dy) * 0.25
             want[i, j] = [fx - 0.5, fy - 0.5]
-    np.testing.assert_allclose(got + 1.0 - 1.0, want - 1.0 + 1.0 - 1.0 + 1.0
-                               if False else want, atol=1e-4)
+    np.testing.assert_allclose(got, want, atol=1e-4)
 
 
 def test_landmark_transform_inverse(rng):
     # landmarks_to_image_coords must match the reference transform(...,
-    # invert=True) mapping: p_img = p_hm/res*h + center - h/2
+    # invert=True) mapping p_img = p_hm/res*h + center - h/2, truncated to
+    # int like the reference's `.int()` (`fan_model/utils.py:97`)
     center = jnp.asarray([[100.0, 120.0]])
     scale = jnp.asarray([1.3])
     pts = jnp.asarray(rng.rand(1, 68, 2).astype(np.float32) * 64)
-    out = np.asarray(landmarks_to_image_coords(pts, center, scale))
     h = 200 * 1.3
     want = np.asarray(pts) / 64.0 * h + (np.asarray([[100, 120.0]]) - h / 2)[None]
-    np.testing.assert_allclose(out, want, rtol=1e-5)
+    out = np.asarray(landmarks_to_image_coords(pts, center, scale))
+    np.testing.assert_array_equal(out, np.trunc(want))
+    out_f = np.asarray(landmarks_to_image_coords(pts, center, scale,
+                                                 truncate=False))
+    np.testing.assert_allclose(out_f, want, rtol=1e-5)
+
+
+def test_landmark_pipeline_live_parity(rng):
+    """heatmaps → peaks → image coords against the reference's own
+    `get_preds_fromhm` + `transform` (AST-extracted; their host modules
+    need CUDA/torchvision). The reference truncates image coords to int
+    (`transform` returns `.int()`); a previously shipped +1 heatmap-frame
+    offset shifted every landmark by h/64 (~4-5 px) — this test pins the
+    whole mapping exactly (up to torch.inverse roundoff at truncation
+    boundaries)."""
+    from ref_loader import extract_ref_function
+    transform = extract_ref_function("libs/face_models/fan_model/utils.py",
+                                     "transform")
+    get_preds = extract_ref_function(
+        "libs/face_models/landmarks_estimation.py", "get_preds_fromhm",
+        namespace={"transform": transform})
+    from stylegan_directions_face_reenactment_tpu.models.face.fan import (
+        heatmaps_to_landmarks)
+    hm = rng.rand(2, 68, 64, 64).astype(np.float32)
+    center_np = np.array([120.25, 150.5], np.float32)
+    scale = 1.3
+    want_pts, want_img = get_preds(torch.from_numpy(hm),
+                                   torch.from_numpy(center_np), scale)
+
+    hm_j = jnp.asarray(np.transpose(hm, (0, 2, 3, 1)))
+    got_pts = np.asarray(heatmaps_to_landmarks(hm_j))
+    np.testing.assert_allclose(got_pts, want_pts.numpy(), atol=1e-5)
+    got_img = np.asarray(landmarks_to_image_coords(
+        jnp.asarray(got_pts), jnp.tile(center_np[None], (2, 1)),
+        jnp.full((2,), scale)))
+    diff = np.abs(got_img - want_img.numpy())
+    assert diff.max() <= 1.0          # torch.inverse roundoff at int edges
+    assert (diff == 0).mean() >= 0.95  # and almost everywhere exact
 
 
 def test_box_to_center_scale():
