@@ -23,7 +23,6 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..nn import scale_translate_warp
 from .fan import fan_forward, heatmaps_to_landmarks, landmarks_to_image_coords
 from .s3fd import detect_faces
 
@@ -64,13 +63,35 @@ def crop_transform(center: jnp.ndarray, scale: jnp.ndarray,
 
 def crop_faces(images: jnp.ndarray, center: jnp.ndarray, scale: jnp.ndarray,
                resolution: int = 256) -> jnp.ndarray:
-    """Batched 200·scale face crop via affine warp; images (B, H, W, C) in
-    any range (values preserved)."""
-    theta = crop_transform(center, scale, float(resolution))
-    # axis-aligned transform → MXU matmul warp (theta holds s on the
-    # diagonal and t in the last column; no rotation possible here)
-    return scale_translate_warp(images, theta[:, 0, 0], theta[:, 0, 2],
-                                theta[:, 1, 2], (resolution, resolution))
+    """Batched 200·scale face crop, bit-matching the reference's
+    `crop_torch` (`fan_model/utils.py:141-165`): crop corners come from the
+    inverse transform TRUNCATED to int (`transform(...).int()`,
+    ul = trunc(c − h/2 + h/res), br = trunc(c + h/2)), the integer patch is
+    zero-padded outside the frame, then resized to ``resolution`` with
+    torch bilinear interpolate semantics (half-pixel centers,
+    align_corners=False, no antialias — what torchvision Resize does on
+    tensors in the reference's torch-1.7 era; src clamped to the patch).
+    A continuous affine instead would shift sampling by the fractional
+    corner (≤1 px) + the half-pixel convention — enough to flip FAN argmax
+    cells (4 image px each). Runs as two MXU einsums; images (B, H, W, C)
+    in any range (values preserved)."""
+    from ..nn import warp_from_coords
+    res = float(resolution)
+    h = 200.0 * scale                                      # (B,)
+    ul_x = jnp.trunc(center[:, 0] - h / 2.0 + h / res)
+    ul_y = jnp.trunc(center[:, 1] - h / 2.0 + h / res)
+    br_x = jnp.trunc(center[:, 0] + h / 2.0)
+    br_y = jnp.trunc(center[:, 1] + h / 2.0)
+    wp = br_x - ul_x                                       # patch size (B,)
+    hp = br_y - ul_y
+    dst = jnp.arange(resolution, dtype=jnp.float32) + 0.5  # pixel centers
+    # src in patch coords, clamped to the patch like F.interpolate, then
+    # shifted to absolute image coords (patch pixel p == image ul + p)
+    sx = jnp.clip(dst[None] * (wp[:, None] / res) - 0.5, 0.0,
+                  wp[:, None] - 1.0) + ul_x[:, None]
+    sy = jnp.clip(dst[None] * (hp[:, None] / res) - 0.5, 0.0,
+                  hp[:, None] - 1.0) + ul_y[:, None]
+    return warp_from_coords(images, sy, sx)
 
 
 def estimate_landmarks(s3fd_params: Params, fan_params: Params,

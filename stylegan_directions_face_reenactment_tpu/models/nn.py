@@ -213,6 +213,22 @@ def _tent_matrix(coords: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(coords[..., None] - j))
 
 
+def warp_from_coords(images: jnp.ndarray, src_y: jnp.ndarray,
+                     src_x: jnp.ndarray) -> jnp.ndarray:
+    """Separable bilinear resample at per-sample axis coordinates
+    (zero padding outside the image) as two MXU einsums.
+
+    images: (B, H, W, C); src_y (B, oh), src_x (B, ow) in source pixels.
+    """
+    h, w = images.shape[1], images.shape[2]
+    wy = _tent_matrix(src_y, h)                            # (B, oh, H)
+    wx = _tent_matrix(src_x, w)                            # (B, ow, W)
+    tmp = jnp.einsum("bih,bhwc->biwc", wy, images,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("bow,biwc->bioc", wx, tmp,
+                      preferred_element_type=jnp.float32)
+
+
 def scale_translate_warp(images: jnp.ndarray, s: jnp.ndarray,
                          tx: jnp.ndarray, ty: jnp.ndarray,
                          out_hw) -> jnp.ndarray:
@@ -228,17 +244,11 @@ def scale_translate_warp(images: jnp.ndarray, s: jnp.ndarray,
     images: (B, H, W, C); s/tx/ty: (B,) with dst = s·src + t per axis.
     """
     oh, ow = out_hw
-    h, w = images.shape[1], images.shape[2]
     dst_y = jnp.arange(oh, dtype=jnp.float32)
     dst_x = jnp.arange(ow, dtype=jnp.float32)
     src_y = (dst_y[None, :] - ty[:, None]) / s[:, None]   # (B, oh)
     src_x = (dst_x[None, :] - tx[:, None]) / s[:, None]   # (B, ow)
-    wy = _tent_matrix(src_y, h)                            # (B, oh, H)
-    wx = _tent_matrix(src_x, w)                            # (B, ow, W)
-    tmp = jnp.einsum("bih,bhwc->biwc", wy, images,
-                     preferred_element_type=jnp.float32)
-    return jnp.einsum("bow,biwc->bioc", wx, tmp,
-                      preferred_element_type=jnp.float32)
+    return warp_from_coords(images, src_y, src_x)
 
 
 

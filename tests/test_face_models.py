@@ -228,14 +228,59 @@ def test_box_to_center_scale():
 
 
 def test_crop_faces_identity_box(rng):
-    # scale chosen so the 200·scale box == the whole image → crop ≈ resize
-    img = rng.rand(1, 256, 256, 3).astype(np.float32)
+    # scale chosen so the 200·scale box ≈ the whole image → crop ≈ identity
+    # (up to the reference's integer corner snap + half-pixel resize: ≤1 px
+    # of sampling shift, bilinear-smoothed)
+    yy, xx = np.mgrid[0:256, 0:256].astype(np.float32)
+    img = np.stack([xx, yy, xx + yy], -1)[None]   # smooth ramp
     center = jnp.asarray([[128.0, 128.0]])
     scale = jnp.asarray([256.0 / 200.0])
     out = np.asarray(crop_faces(jnp.asarray(img), center, scale, 256))
-    # mapping is src*1 + 0 → identity-ish (res/h = 1)
-    np.testing.assert_allclose(out[0, 10:200, 10:200], img[0, 10:200, 10:200],
-                               atol=1e-4)
+    assert out.shape == (1, 256, 256, 3)
+    # a ≤1 px sampling shift on a unit-gradient ramp moves values by ≤~2
+    np.testing.assert_allclose(out[0, 10:200, 10:200],
+                               img[0, 10:200, 10:200], atol=2.5)
+
+
+def test_crop_faces_live_reference_parity(rng):
+    """crop_faces must bit-match the reference's `crop_torch`
+    (`fan_model/utils.py:141-165`, AST-extracted): integer-truncated crop
+    corners, zero padding outside the frame, torch bilinear resize
+    (half-pixel centers, no antialias — the torchvision-0.8/torch-1.7
+    tensor Resize the reference ran). In-frame AND out-of-frame boxes."""
+    import torch.nn.functional as TF
+    import types as _types
+    from ref_loader import extract_ref_function
+    transform = extract_ref_function("libs/face_models/fan_model/utils.py",
+                                     "transform")
+
+    class _Resize:
+        def __init__(self, size):
+            self.size = size
+
+        def __call__(self, x):
+            return TF.interpolate(x, size=self.size, mode="bilinear",
+                                  align_corners=False)
+
+    crop_torch = extract_ref_function(
+        "libs/face_models/fan_model/utils.py", "crop_torch",
+        namespace={"transform": transform,
+                   "transforms": _types.SimpleNamespace(Resize=_Resize)})
+
+    img = (rng.rand(1, 300, 300, 3) * 255).astype(np.float32)
+    timg = torch.from_numpy(np.transpose(img, (0, 3, 1, 2)))
+    for cx, cy, s in [(150.0, 140.0, 0.9),     # fully in frame
+                      (150.5, 139.75, 1.02),   # fractional center
+                      (40.0, 260.0, 1.1),      # out of frame two sides
+                      (290.0, 20.0, 0.7)]:     # out of frame other corner
+        with torch.no_grad():
+            want = crop_torch(timg, torch.FloatTensor([cx, cy]), s)
+        got = np.asarray(crop_faces(jnp.asarray(img),
+                                    jnp.asarray([[cx, cy]]),
+                                    jnp.asarray([s]), 256))
+        np.testing.assert_allclose(
+            got[0], want[0].numpy().transpose(1, 2, 0), atol=2e-3,
+            err_msg=f"center=({cx},{cy}) scale={s}")
 
 
 def test_crop_using_landmarks_inside(rng):
