@@ -94,16 +94,46 @@ def crop_faces(images: jnp.ndarray, center: jnp.ndarray, scale: jnp.ndarray,
     return warp_from_coords(images, sy, sx)
 
 
+def select_reference_face(boxes: jnp.ndarray, valid: jnp.ndarray,
+                          conf_thresh: float = 0.99
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pick the face the reference would: `detect_landmarks` iterates the
+    NMS-kept list (score-descending) and OVERWRITES `landmarks[0]` for
+    every face above the confidence gate (`landmarks_estimation.py:
+    203-208`) — so the LAST (lowest-scoring) face above 0.99 wins, not the
+    best. Identical to best-box selection for single-face frames.
+
+    boxes (B, K, 5) best-first, valid (B, K) → (box (B, 5), ok (B,))."""
+    passing = valid & (boxes[..., 4] > conf_thresh)        # (B, K)
+    k = boxes.shape[1]
+    # index of the last True per row (0 when none — masked by ok)
+    idx = (k - 1) - jnp.argmax(passing[:, ::-1], axis=1)
+    ok = jnp.any(passing, axis=1)
+    box = jnp.take_along_axis(boxes, jnp.where(ok, idx, 0)[:, None, None],
+                              axis=1)[:, 0]
+    return box, ok
+
+
 def estimate_landmarks(s3fd_params: Params, fan_params: Params,
                        images_rgb255: jnp.ndarray,
                        conf_thresh: float = 0.99,
-                       compute_dtype=None
+                       compute_dtype=None,
+                       detector_input: str = "vendored"
                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full batched pipeline: (B, H, W, 3) RGB 0-255 → landmarks (B, 68, 2)
     in image coords, validity mask (B,), heatmaps (B, 64, 64, 68).
 
-    The detector consumes BGR mean-subtracted input (`sfd/detect.py:21`);
-    FAN consumes the [0,1] crop (`landmarks_estimation.py:152-153`).
+    ``detector_input`` — the reference runs SFD with TWO input conventions:
+      * "vendored" (default — this function rebuilds the vendored
+        `landmarks_estimation.py`): the preprocessing path's
+        `detect_from_batch` → `batch_detect` feeds the RAW RGB 0-255
+        tensor straight to the net (`sfd/detect.py:36-45` has no mean
+        subtraction or BGR flip; only the UNUSED single-image `detect()`
+        helper at `sfd/detect.py:21` normalizes);
+      * "fa": the pip face_alignment package (the DECA `detectors.FAN`
+        path) flips RGB→BGR and subtracts the [104,117,123] mean inside
+        its batch_detect.
+    FAN consumes the [0,1] crop in both (`landmarks_estimation.py:152-153`).
     Detection is stop_gradient'ed: boxes are constants to autodiff, exactly
     like the reference (detection runs under no_grad).
 
@@ -112,14 +142,18 @@ def estimate_landmarks(s3fd_params: Params, fan_params: Params,
     so sub-pixel rounding only jitters downstream crop boxes by <1 px.
     Default None keeps f32 (exact reference parity).
     """
-    bgr = images_rgb255[..., ::-1]
-    bgr = jax.lax.stop_gradient(bgr)
+    if detector_input == "fa":
+        det_in, sub_mean = images_rgb255[..., ::-1], True
+    elif detector_input == "vendored":
+        det_in, sub_mean = images_rgb255, False
+    else:
+        raise ValueError(f"unknown detector_input {detector_input!r}")
+    det_in = jax.lax.stop_gradient(det_in)
     if compute_dtype is not None:
-        bgr = bgr.astype(compute_dtype)
-    boxes, valid = detect_faces(s3fd_params, bgr)
+        det_in = det_in.astype(compute_dtype)
+    boxes, valid = detect_faces(s3fd_params, det_in, subtract_mean=sub_mean)
     boxes = boxes.astype(jnp.float32)
-    best = boxes[:, 0]                               # best-scored box (B, 5)
-    ok = valid[:, 0] & (best[:, 4] > conf_thresh)
+    best, ok = select_reference_face(boxes, valid, conf_thresh)
     best = jax.lax.stop_gradient(best)
 
     center, scale = box_to_center_scale(best)
@@ -140,11 +174,15 @@ def estimate_landmarks_3d(s3fd_params: Params, fan_params: Params,
                           conf_thresh: float = 0.99):
     """3D variant (`landmarks_estimation.py` type='3D'): 2D landmarks plus
     depths from the ResNetDepth net fed with the crop + per-landmark
-    gaussian heatmaps (`:165-181`). Returns ((B, 68, 3), valid mask)."""
+    gaussian heatmaps (`:165-181`). Returns ((B, 68, 3), valid mask).
+    Detector input follows the vendored convention (raw RGB, no mean —
+    see `estimate_landmarks`); the 3D path only exists in the vendored
+    module."""
     from .fan import predict_depth
 
-    bgr = images_rgb255[..., ::-1]
-    boxes, valid = detect_faces(s3fd_params, jax.lax.stop_gradient(bgr))
+    boxes, valid = detect_faces(s3fd_params,
+                                jax.lax.stop_gradient(images_rgb255),
+                                subtract_mean=False)
     best = jax.lax.stop_gradient(boxes[:, 0])
     ok = valid[:, 0] & (best[:, 4] > conf_thresh)
 

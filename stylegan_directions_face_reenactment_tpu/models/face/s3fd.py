@@ -159,14 +159,23 @@ def dense_anchors(h: int, w: int, stride: int) -> np.ndarray:
 
 
 def detect_candidates(params: Params, images_bgr: jnp.ndarray,
-                      score_thresh: float = 0.05) -> jnp.ndarray:
-    """Dense batched detection: (B, H, W, 3) BGR images (0-255, mean NOT yet
-    subtracted) → (B, A, 5) [x1, y1, x2, y2, score] for ALL anchors, with
-    scores below ``score_thresh`` zeroed (the reference drops them;
-    fixed-shape masking is the TPU equivalent)."""
+                      score_thresh: float = 0.05,
+                      subtract_mean: bool = True) -> jnp.ndarray:
+    """Dense batched detection: (B, H, W, 3) images (0-255) → (B, A, 5)
+    [x1, y1, x2, y2, score] for ALL anchors, with scores below
+    ``score_thresh`` zeroed (the reference drops them; fixed-shape masking
+    is the TPU equivalent).
+
+    ``subtract_mean=True`` applies the [104,117,123] BGR mean (the pip
+    face_alignment convention; pass BGR images). The reference's vendored
+    `batch_detect` feeds raw RGB with NO normalization
+    (`sfd/detect.py:36-45`) — pass RGB with ``subtract_mean=False`` for
+    that path."""
     # subtract in the input dtype (a f32 constant would silently promote a
     # bf16 batch back to f32 and defeat the mixed-precision trunk)
-    x = images_bgr - jnp.asarray(MEAN_BGR_SUB, images_bgr.dtype)
+    x = images_bgr
+    if subtract_mean:
+        x = x - jnp.asarray(MEAN_BGR_SUB, images_bgr.dtype)
     olist = s3fd_forward(params, x)
     b = x.shape[0]
     outs = []
@@ -217,11 +226,13 @@ def nms_fixed(dets: jnp.ndarray, iou_thresh: float = 0.3,
 
 def detect_faces(params: Params, images_bgr: jnp.ndarray,
                  score_thresh: float = 0.5, iou_thresh: float = 0.3,
-                 top_k: int = 32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 top_k: int = 32,
+                 subtract_mean: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full batched detection (`sfd/sfd_detector.py:31-45` semantics:
     candidates → NMS(0.3) → score > 0.5). Returns (boxes (B, top_k, 5),
-    valid (B, top_k) bool), best-first."""
-    cands = detect_candidates(params, images_bgr)
+    valid (B, top_k) bool), best-first. See `detect_candidates` for the
+    two input conventions (``subtract_mean``)."""
+    cands = detect_candidates(params, images_bgr, subtract_mean=subtract_mean)
 
     def per_image(d):
         kept, mask = nms_fixed(d, iou_thresh, top_k)

@@ -99,10 +99,14 @@ def make_fan_align(fan_params: Params, s3fd_params: Params = None,
         im256 = images01 if h == 256 else resize_bilinear(images01, (256, 256))
         if s3fd_params is not None:
             from ..models.face.landmarks import estimate_landmarks
+            # detector_input="fa": this path rebuilds the pip
+            # face_alignment detector DECA wraps (detectors.py:23-42),
+            # which flips RGB→BGR and mean-subtracts inside batch_detect —
+            # unlike the vendored preprocessing detector (raw RGB)
             lms, ok, _ = estimate_landmarks(
                 s3fd_params, fan_params,
                 jax.lax.stop_gradient(im256) * 255.0,
-                compute_dtype=compute_dtype)
+                compute_dtype=compute_dtype, detector_input="fa")
         else:
             fan_in = jax.lax.stop_gradient(im256)
             if compute_dtype is not None:

@@ -128,7 +128,8 @@ def test_fan_align_sfd_matches_manual_composition():
     aligned, ok = jax.jit(align)(im01)
     assert aligned.shape == (2, DECA_CROP, DECA_CROP, 3)
 
-    lms, ok_want, _ = estimate_landmarks(sfd, fan, im01 * 255.0)
+    lms, ok_want, _ = estimate_landmarks(sfd, fan, im01 * 255.0,
+                                         detector_input="fa")
     np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_want))
     center, old_size = kpt68_center_size(lms)
     center = jnp.where(ok_want[:, None], center, 128.0)

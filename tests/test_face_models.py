@@ -331,6 +331,73 @@ def test_crop_using_landmarks_live_reference_parity(rng):
     assert hit_oob >= 3 and hit_in >= 3  # both paths actually exercised
 
 
+def test_detect_faces_live_reference_parity(s3fd_pair, rng):
+    """End-to-end detection against the reference's own vendored pipeline
+    (AST-extracted `batch_detect` + greedy `nms`, then the >0.5 filter of
+    `sfd_detector.py:31-45`) on the live random-weight net. The vendored
+    path feeds RAW RGB with no mean subtraction or BGR flip
+    (`sfd/detect.py:36-45`) — the convention our preprocessing now
+    replicates (the unused `detect()` helper normalizes; the pip
+    face_alignment package used on the DECA path does too)."""
+    import torch.nn.functional as TF
+    from ref_loader import extract_ref_function
+    net, params = s3fd_pair
+    decode = extract_ref_function("libs/face_models/sfd/bbox.py", "decode")
+    ref_nms = extract_ref_function("libs/face_models/sfd/bbox.py", "nms",
+                                   namespace={"np": np})
+    batch_detect = extract_ref_function(
+        "libs/face_models/sfd/detect.py", "batch_detect",
+        namespace={"np": np, "F": TF, "decode": decode})
+
+    img = (rng.rand(1, 128, 128, 3) * 255).astype(np.float32)
+    with torch.no_grad():
+        bboxlists = batch_detect(
+            net, torch.from_numpy(np.transpose(img, (0, 3, 1, 2))), "cpu")
+    bl = np.asarray(bboxlists[0], np.float32)
+    keep = ref_nms(bl, 0.3)
+    want = np.stack([b for b in bl[keep] if b[-1] > 0.5]) \
+        if len(keep) else np.zeros((0, 5), np.float32)
+
+    k = 64
+    boxes, valid = detect_faces(params, jnp.asarray(img), top_k=k,
+                                subtract_mean=False)
+    boxes = np.asarray(boxes[0])
+    nv = int(np.asarray(valid[0]).sum())
+    if len(want) < k:
+        assert nv == len(want)
+    # the NMS tail is chaotic across frameworks (1e-7 f32 score noise
+    # reorders near-ties and cascades through greedy suppression — with
+    # random weights the divergence can reach row ~4); the top of the
+    # list — what the pipeline consumes — must match exactly
+    top = min(3, nv, len(want))
+    assert top >= 1
+    np.testing.assert_allclose(boxes[:top], want[:top], rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_select_reference_face_last_passing():
+    """The reference overwrites landmarks[0] for EVERY face above the 0.99
+    gate while iterating the score-descending NMS list
+    (`landmarks_estimation.py:203-208`), so the LAST passing face wins."""
+    from stylegan_directions_face_reenactment_tpu.models.face.landmarks import (
+        select_reference_face)
+    boxes = jnp.asarray([
+        # two faces above the gate -> the SECOND (lower-scored) wins
+        [[0, 0, 10, 10, 0.999], [20, 20, 30, 30, 0.995], [5, 5, 6, 6, 0.4]],
+        # one face above the gate
+        [[0, 0, 10, 10, 0.999], [20, 20, 30, 30, 0.95], [0, 0, 0, 0, 0.0]],
+        # none above the gate
+        [[0, 0, 10, 10, 0.95], [0, 0, 0, 0, 0.0], [0, 0, 0, 0, 0.0]],
+    ], jnp.float32)
+    valid = jnp.asarray([[True, True, True],
+                         [True, True, False],
+                         [True, False, False]])
+    box, ok = select_reference_face(boxes, valid)
+    np.testing.assert_array_equal(np.asarray(ok), [True, True, False])
+    np.testing.assert_allclose(np.asarray(box[0]), [20, 20, 30, 30, 0.995])
+    np.testing.assert_allclose(np.asarray(box[1]), [0, 0, 10, 10, 0.999])
+
+
 def test_detect_faces_shapes(rng):
     p = init_s3fd(jax.random.PRNGKey(0))
     imgs = jnp.asarray(rng.rand(2, 128, 128, 3).astype(np.float32) * 255)
