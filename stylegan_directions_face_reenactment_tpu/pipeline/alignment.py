@@ -42,9 +42,12 @@ def kpt68_center_size(landmarks: jnp.ndarray):
 def warp_to_224(images01: jnp.ndarray, center: jnp.ndarray,
                 old_size: jnp.ndarray) -> jnp.ndarray:
     """Similarity warp of the (center, 1.25·old_size) square to 224
-    (`datasets.py:70-80`). images01: (B, H, W, 3) in [0, 1]."""
-    size = old_size * DECA_SCALE
-    s = (DECA_CROP - 1.0) / size
+    (`datasets.py:70-80`). images01: (B, H, W, 3) in [0, 1].
+    The reference truncates the box side to int (`size =
+    int(old_size*self.scale)`, `datasets.py:69`) before fitting the
+    3-point similarity to the [0, 223] corners."""
+    size = jnp.trunc(old_size * DECA_SCALE)
+    s = (DECA_CROP - 1.0) / jnp.maximum(size, 1.0)
     tx = -(center[:, 0] - size / 2.0) * s
     ty = -(center[:, 1] - size / 2.0) * s
     return scale_translate_warp(images01, s, tx, ty, (DECA_CROP, DECA_CROP))
