@@ -64,6 +64,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "jax.sharding.Mesh, replicates the frozen zoo and "
                         "shards batches on axis 0 (parallel/mesh.py); "
                         "default = single device")
+    p.add_argument("--dcn_slices", type=int, default=1,
+                   help="multi-host pods: outer mesh axis crossing the "
+                        "data-center network (one row per host/ICI slice); "
+                        "builds a 2-D (dcn, dp) mesh so gradient reduction "
+                        "is hierarchical — ICI psum within a slice, then a "
+                        "tiny (~61k-param) DCN all-reduce of the A-matrix "
+                        "grads. Pair with JAX_COORDINATOR_ADDRESS / "
+                        "JAX_NUM_PROCESSES / JAX_PROCESS_ID for real "
+                        "multi-process runs (parallel.distributed_init)")
     return p
 
 
@@ -111,7 +120,12 @@ def main(argv=None):
     models = FrozenModels(g, deca, idb, lp, trunc, fan, sfd)
 
     mesh = None
-    if args_ns.n_devices is not None and args_ns.n_devices > 1:
+    if args_ns.dcn_slices > 1:
+        from ..parallel import distributed_init, make_hybrid_mesh
+        distributed_init()  # no-op unless coordinator env vars are set
+        mesh = make_hybrid_mesh(args_ns.n_devices,
+                                dcn_slices=args_ns.dcn_slices)
+    elif args_ns.n_devices is not None and args_ns.n_devices > 1:
         from ..parallel import make_mesh
         mesh = make_mesh(args_ns.n_devices)
     trainer = Trainer(targs, models, mesh=mesh)

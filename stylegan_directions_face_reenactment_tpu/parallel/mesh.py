@@ -8,13 +8,18 @@ params — fully replicated params + batch sharding is the right mapping;
 gradient reduction rides ICI via the psum XLA inserts for the replicated
 out-sharding of grads.
 
-Axis convention: ``dp`` (data parallel over batch/frames). The helpers are
-written against arbitrary mesh shapes so a future ``fsdp`` axis slots in
-without changing call sites.
+Axis convention: ``dp`` (data parallel over batch/frames) on a 1-D mesh;
+multi-host pods add an outer ``dcn`` axis (`make_hybrid_mesh`) so the batch
+shards over hosts×chips while the only cross-host collective is the psum of
+the A-matrix gradients (~61k params — a trivial DCN payload; everything
+bandwidth-heavy stays on ICI within a slice). The helpers are written
+against arbitrary mesh shapes: batch placement shards axis 0 over ALL mesh
+axes, so a hybrid mesh needs no call-site changes.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -22,6 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "dp"
+DCN_AXIS = "dcn"
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -43,9 +49,84 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
-    """Shard axis 0 (batch) over the mesh."""
-    return NamedSharding(mesh, P(axis_name))
+def make_hybrid_mesh(n_devices: Optional[int] = None,
+                     dcn_slices: int = 1,
+                     devices: Optional[Sequence[Any]] = None,
+                     axis_names: Sequence[str] = (DCN_AXIS, DATA_AXIS)) -> Mesh:
+    """2-D ``(dcn, dp)`` mesh for multi-host pods: the outer axis crosses the
+    data-center network (one row per host/slice), the inner axis rides ICI.
+
+    Batch placement (`shard_batch`) shards axis 0 over BOTH axes, so this is
+    still pure data parallelism — but the XLA partitioner now reduces
+    gradients hierarchically (ICI psum within a slice, then a DCN all-reduce
+    of the already-reduced per-slice values), which is the right collective
+    shape when the inter-host link is ~10× slower than ICI. For this
+    framework's workloads only the A-matrix gradients (~61k params) ever
+    cross DCN.
+
+    In a real multi-process run (`jax.process_count() > 1`, after
+    `distributed_init`) the device grid comes from
+    `mesh_utils.create_hybrid_device_mesh`, which groups each process's
+    local devices into one DCN row. Single-process (tests, virtual CPU
+    meshes) simply folds the flat device list into a (dcn, ici) grid.
+    """
+    if dcn_slices < 1:
+        raise ValueError(f"dcn_slices must be >= 1, got {dcn_slices}")
+    if devices is None and jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+        n_local = len(jax.local_devices())
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (1, n_local), (dcn_slices, 1),
+            devices=jax.devices(), allow_split_physical_axes=True)
+        return Mesh(grid.reshape(dcn_slices, -1), tuple(axis_names))
+    if devices is None:
+        dflt = jax.config.jax_default_device
+        devices = (jax.devices(dflt.platform) if dflt is not None
+                   else jax.devices())
+    n = len(devices) if n_devices is None else n_devices
+    if n > len(devices):
+        raise ValueError(f"requested a {n}-device mesh but only "
+                         f"{len(devices)} device(s) are available")
+    if n % dcn_slices != 0:
+        raise ValueError(f"dcn_slices {dcn_slices} must divide the device "
+                         f"count {n}")
+    grid = np.asarray(list(devices[:n])).reshape(dcn_slices, n // dcn_slices)
+    return Mesh(grid, tuple(axis_names))
+
+
+def distributed_init(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Initialize JAX multi-process mode for a multi-host pod (DCN).
+
+    Arguments fall back to the standard ``JAX_COORDINATOR_ADDRESS`` /
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` environment variables (and
+    on Cloud TPU VMs `jax.distributed.initialize()` autodetects all three).
+    Returns True if multi-process mode was (or already is) active. No-op
+    single-process — callers can invoke it unconditionally."""
+    if jax.process_count() > 1:
+        return True
+    coordinator_address = (coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    env_pid = os.environ.get("JAX_PROCESS_ID")
+    num_processes = (num_processes if num_processes is not None
+                     else int(env_np) if env_np else None)
+    process_id = (process_id if process_id is not None
+                  else int(env_pid) if env_pid else None)
+    if coordinator_address is None and num_processes is None:
+        return False  # single-process run, nothing to set up
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_count() > 1
+
+
+def batch_sharding(mesh: Mesh, axis_name: Optional[str] = None) -> NamedSharding:
+    """Shard axis 0 (batch) over the mesh — over ALL mesh axes by default
+    (dp on a 1-D mesh, (dcn, dp) on a hybrid mesh)."""
+    spec = tuple(mesh.axis_names) if axis_name is None else axis_name
+    return NamedSharding(mesh, P(spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -56,10 +137,21 @@ def _is_array(x) -> bool:
     return isinstance(x, (jax.Array, np.ndarray))
 
 
-def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
-    """Place a pytree of arrays with axis-0 sharded over the mesh.
-    Non-array leaves (static metadata ints/strings) pass through."""
+def shard_batch(mesh: Mesh, batch, axis_name: Optional[str] = None):
+    """Place a pytree of arrays with axis-0 sharded over the mesh (all mesh
+    axes). Non-array leaves (static metadata ints/strings) pass through.
+
+    Multi-process (pod) semantics: each process passes its PER-HOST slice of
+    the global batch (the data loader already walks a disjoint shard of the
+    dataset per host) and the global array is assembled from the local
+    shards; single-process passes the full batch."""
     s = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        def place(x):
+            if not _is_array(x):
+                return x
+            return jax.make_array_from_process_local_data(s, np.asarray(x))
+        return jax.tree_util.tree_map(place, batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, s) if _is_array(x) else x, batch)
 
@@ -72,7 +164,7 @@ def replicate(mesh: Mesh, tree):
 
 
 def data_parallel_jit(fn, mesh: Mesh, *, batch_argnums: Sequence[int] = (0,),
-                      axis_name: str = DATA_AXIS, **jit_kwargs):
+                      axis_name: Optional[str] = None, **jit_kwargs):
     """jit ``fn`` with batch args sharded on axis 0 and everything else
     replicated; outputs left to the compiler (grad trees come back
     replicated, implying an ICI psum)."""

@@ -191,9 +191,8 @@ def _batch_constrainer(mesh):
     the propagation pass. Identity when no mesh is given."""
     if mesh is None:
         return lambda x: x
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from ..parallel.mesh import DATA_AXIS
-    s = NamedSharding(mesh, P(DATA_AXIS))
+    from ..parallel.mesh import batch_sharding
+    s = batch_sharding(mesh)  # all mesh axes: dp, or (dcn, dp) on a pod
     return lambda x: jax.lax.with_sharding_constraint(x, s)
 
 

@@ -350,13 +350,22 @@ def test_detect_faces_live_reference_parity(s3fd_pair, rng):
         namespace={"np": np, "F": TF, "decode": decode})
 
     img = (rng.rand(1, 128, 128, 3) * 255).astype(np.float32)
-    with torch.no_grad():
-        bboxlists = batch_detect(
-            net, torch.from_numpy(np.transpose(img, (0, 3, 1, 2))), "cpu")
+    # pin torch intra-op parallelism: oneDNN's dynamic scheduling makes
+    # conv reduction order (and so ~1e-7 score noise) load-dependent, and
+    # with random weights the NMS list has near-ties that noise can flip
+    n_threads = torch.get_num_threads()
+    torch.set_num_threads(1)
+    try:
+        with torch.no_grad():
+            bboxlists = batch_detect(
+                net, torch.from_numpy(np.transpose(img, (0, 3, 1, 2))), "cpu")
+    finally:
+        torch.set_num_threads(n_threads)
     bl = np.asarray(bboxlists[0], np.float32)
     keep = ref_nms(bl, 0.3)
-    want = np.stack([b for b in bl[keep] if b[-1] > 0.5]) \
-        if len(keep) else np.zeros((0, 5), np.float32)
+    kept = bl[keep] if len(keep) else np.zeros((0, 5), np.float32)
+    want = np.stack([b for b in kept if b[-1] > 0.5]) \
+        if (kept[:, -1] > 0.5).any() else np.zeros((0, 5), np.float32)
 
     k = 64
     boxes, valid = detect_faces(params, jnp.asarray(img), top_k=k,
@@ -364,7 +373,11 @@ def test_detect_faces_live_reference_parity(s3fd_pair, rng):
     boxes = np.asarray(boxes[0])
     nv = int(np.asarray(valid[0]).sum())
     if len(want) < k:
-        assert nv == len(want)
+        # a score within f32 cross-framework noise of the 0.5 gate may land
+        # on either side; bound the count by the margin-filtered extremes
+        lo = int((kept[:, -1] > 0.5 + 1e-4).sum())
+        hi = int((kept[:, -1] > 0.5 - 1e-4).sum())
+        assert lo <= nv <= hi, (nv, lo, hi)
     # the NMS tail is chaotic across frameworks (1e-7 f32 score noise
     # reorders near-ties and cascades through greedy suppression — with
     # random weights the divergence can reach row ~4); the top of the

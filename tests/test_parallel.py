@@ -15,8 +15,9 @@ import jax.numpy as jnp
 import pytest
 
 from stylegan_directions_face_reenactment_tpu.parallel import (
-    DATA_AXIS, batch_sharding, data_parallel_jit, make_mesh, pad_to_multiple,
-    replicate, replicated, shard_batch)
+    DATA_AXIS, DCN_AXIS, batch_sharding, data_parallel_jit, distributed_init,
+    make_hybrid_mesh, make_mesh, pad_to_multiple, replicate, replicated,
+    shard_batch)
 
 N_DEV = 8
 
@@ -68,6 +69,51 @@ def test_pad_to_multiple():
     np.testing.assert_array_equal(padded[4], padded[7])  # edge mode
     same, n2 = pad_to_multiple(padded, 8)
     assert same is padded and n2 == 8
+
+
+def test_make_hybrid_mesh_shape():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("need 8 virtual devices")
+    m = make_hybrid_mesh(8, dcn_slices=2, devices=devs)
+    assert m.shape == {DCN_AXIS: 2, DATA_AXIS: 4}
+    assert m.axis_names == (DCN_AXIS, DATA_AXIS)
+    # dcn_slices=1 degenerates to a (1, n) grid — still one dp row
+    m1 = make_hybrid_mesh(4, devices=devs)
+    assert m1.shape == {DCN_AXIS: 1, DATA_AXIS: 4}
+    with pytest.raises(ValueError, match="must divide"):
+        make_hybrid_mesh(8, dcn_slices=3, devices=devs)
+    with pytest.raises(ValueError, match="dcn_slices"):
+        make_hybrid_mesh(8, dcn_slices=0, devices=devs)
+    with pytest.raises(ValueError, match="available"):
+        make_hybrid_mesh(2 * len(devs), devices=devs)
+
+
+def test_shard_batch_hybrid_all_axes():
+    """On a (dcn, dp) mesh the batch shards over BOTH axes — 8 distinct
+    single-row shards, not dp-sharded copies replicated across dcn."""
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("need 8 virtual devices")
+    m = make_hybrid_mesh(8, dcn_slices=2, devices=devs)
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    placed = shard_batch(m, {"x": x})["x"]
+    assert len(placed.addressable_shards) == 8
+    starts = sorted(int(sh.data[0, 0]) for sh in placed.addressable_shards)
+    assert starts == [i * 6 for i in range(8)]  # 8 disjoint 2-row shards
+    for sh in placed.addressable_shards:
+        assert sh.data.shape == (2, 3)
+    np.testing.assert_array_equal(np.asarray(placed), x)
+
+
+def test_distributed_init_noop_single_process():
+    """No coordinator configured → returns False and leaves the process
+    single-controller (the CLI calls it unconditionally)."""
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        assert var not in os.environ
+    assert distributed_init() is False
+    assert jax.process_count() == 1
 
 
 def test_data_parallel_jit_matches_single_device(mesh):
@@ -122,23 +168,14 @@ def paired_inputs():
                                maxval=1.0))
 
 
-@pytest.mark.slow
-def test_paired_step_sharded_matches_single_device(tiny_models,
-                                                   paired_inputs):
-    # 2-device mesh: XLA:CPU aborts a collective whose participants
-    # straggle >40s apart (rendezvous.cc), and 8 virtual devices executing
-    # a real train step on shared host cores can exceed that; two
-    # participants keep the straggle window tiny while still exercising
-    # the sharded program + psum. 8-way execution is covered by
-    # test_trainer_paired_on_mesh and __graft_entry__.dryrun_multichip.
-    mesh = make_mesh(2, devices=jax.devices("cpu"))
+def _paired_step_parts():
     from stylegan_directions_face_reenactment_tpu.configs.arguments import (
         TrainingArguments)
+    from stylegan_directions_face_reenactment_tpu.geometry import (
+        initialize_directions)
     from stylegan_directions_face_reenactment_tpu.models import (
         init_direction_matrix)
-    from stylegan_directions_face_reenactment_tpu.train import (
-        make_optimizer, make_paired_step)
-    from stylegan_directions_face_reenactment_tpu.train.steps import split_a
+    from stylegan_directions_face_reenactment_tpu.train import make_optimizer
 
     args = TrainingArguments(batch_size=BATCH, image_resolution=SIZE,
                              training_method="paired",
@@ -149,19 +186,46 @@ def test_paired_step_sharded_matches_single_device(tiny_models,
     tx = make_optimizer(args)
     a0 = init_direction_matrix(jax.random.PRNGKey(3), 512, 15, w_plus=True,
                                num_layers=8)
-    sw, si, tw, ti = paired_inputs
-    rng = jax.random.PRNGKey(11)
-
-    from stylegan_directions_face_reenactment_tpu.geometry import (
-        initialize_directions)
     spec = initialize_directions("voxceleb", 15, 6.0)
+    return args, tx, a0, spec, jax.random.PRNGKey(11)
 
-    # single device
+
+@pytest.fixture(scope="module")
+def paired_single_result(tiny_models, paired_inputs):
+    """Single-device paired step output — baseline shared by the 1-D and
+    hybrid sharded variants (one train-step compile instead of two)."""
+    from stylegan_directions_face_reenactment_tpu.train import make_paired_step
+    from stylegan_directions_face_reenactment_tpu.train.steps import split_a
+    args, tx, a0, spec, rng = _paired_step_parts()
     step1 = make_paired_step(tiny_models, spec, args, tx)
     opt1 = tx.init(split_a(a0)[0])
-    a1, _, ld1 = step1(a0, opt1, rng, sw, si, tw, ti)
+    a1, _, ld1 = step1(a0, opt1, rng, *paired_inputs)
+    return np.asarray(a1["weight"]), float(ld1["loss"])
 
-    # sharded over the mesh
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mesh_kind", ["dp2", "hybrid2x2"])
+def test_paired_step_sharded_matches_single_device(tiny_models, paired_inputs,
+                                                   paired_single_result,
+                                                   mesh_kind):
+    # Small meshes: XLA:CPU aborts a collective whose participants
+    # straggle >40s apart (rendezvous.cc), and 8 virtual devices executing
+    # a real train step on shared host cores can exceed that; 2-4
+    # participants keep the straggle window tiny while still exercising
+    # the sharded program + psum (hierarchical on the hybrid mesh: ICI
+    # reduce within a dcn row, then the cross-row all-reduce). 8-way
+    # execution is covered by test_trainer_paired_on_mesh and
+    # __graft_entry__.dryrun_multichip.
+    devs = jax.devices("cpu")
+    mesh = (make_mesh(2, devices=devs) if mesh_kind == "dp2"
+            else make_hybrid_mesh(4, dcn_slices=2, devices=devs))
+    from stylegan_directions_face_reenactment_tpu.train import make_paired_step
+    from stylegan_directions_face_reenactment_tpu.train.steps import split_a
+
+    args, tx, a0, spec, rng = _paired_step_parts()
+    sw, si, tw, ti = paired_inputs
+    w1, loss1 = paired_single_result
+
     models_r = type(tiny_models)(*replicate(mesh, tuple(tiny_models)))
     a_r = replicate(mesh, a0)
     opt_r = tx.init(split_a(a_r)[0])
@@ -170,13 +234,11 @@ def test_paired_step_sharded_matches_single_device(tiny_models,
     a8, _, ld8 = step8(a_r, opt_r, replicate(mesh, rng), batch["sw"],
                        batch["si"], batch["tw"], batch["ti"])
 
-    np.testing.assert_allclose(float(ld8["loss"]), float(ld1["loss"]),
-                               rtol=2e-4)
+    np.testing.assert_allclose(float(ld8["loss"]), loss1, rtol=2e-4)
     # Adam's first update is ±lr·grad/(√v̂+ε) ≈ ±lr per element; psum
     # reduction-order noise can flip near-zero grads, so per-element
     # deltas are bounded by ~2·lr (1e-4), not by float precision
-    np.testing.assert_allclose(np.asarray(a8["weight"]),
-                               np.asarray(a1["weight"]), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(a8["weight"]), w1, atol=3e-4)
 
 
 @pytest.mark.slow
