@@ -29,10 +29,14 @@ Design (TPU-first, no pytorch3d):
   with pixel-center coordinates 2*(i+0.5)/S - 1.
 
 Mesh topology (faces) comes from the FLAME ``generic_model.pkl``
-(`params["flame"]["faces"]`); the reference's separate
-``head_template.obj`` is only needed for UV-space (texture/detail)
-rendering, which stays out of scope (`use_tex=False` on every reference
-path, `estimate_DECA.py:20`).
+(`params["flame"]["faces"]`). UV-space (texture/detail) rendering — the
+reference's `SRenderY.forward`/`world2uv`/`displacement2normal` path
+(`renderer.py:121-206,331-340`, `decalib/deca.py:114-227`) — is implemented
+below too; its topology assets (``head_template.obj`` UV coords,
+``uv_face_eye_mask.png``, ``fixed_displacement_256.npy``) are user-supplied
+downloads exactly like the model checkpoints, loaded by
+`load_render_assets` (tests exercise the math on synthetic topologies, the
+same pattern as `synthetic_flame_params`).
 
 Everything is channel-last (NHWC) like the rest of the package.
 """
@@ -43,6 +47,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Params = Dict[str, Any]
 
@@ -200,6 +205,7 @@ def add_directionlight(normals: jnp.ndarray, lights: jnp.ndarray
 def render_shape(vertices: jnp.ndarray, transformed_vertices: jnp.ndarray,
                  faces: jnp.ndarray, images: Optional[jnp.ndarray] = None,
                  lights: Optional[jnp.ndarray] = None,
+                 detail_normal_images: Optional[jnp.ndarray] = None,
                  image_size: int = 224, chunk: int = 256) -> jnp.ndarray:
     """Gray shaded-shape render, optionally composited over `images`
     (`renderer.py:237-294`).
@@ -208,7 +214,9 @@ def render_shape(vertices: jnp.ndarray, transformed_vertices: jnp.ndarray,
     after `batch_orth_proj` + y/z negation (NDC, *unscaled* — the
     reference's `decode_deca` frame, `decalib/deca.py:175`); faces (F, 3);
     images optional (B, S, S, 3) NHWC in [0, 1] range semantics of the
-    caller. Returns (B, S, S, 3)."""
+    caller; detail_normal_images optional (B, S, S, 3) replaces the
+    rasterized normals before shading (`renderer.py:281-282`).
+    Returns (B, S, S, 3)."""
     batch = vertices.shape[0]
     if lights is None:
         lights = default_lights(batch)
@@ -229,6 +237,8 @@ def render_shape(vertices: jnp.ndarray, transformed_vertices: jnp.ndarray,
     t_normal_map = rendering[..., 3:6]
     pos_mask = (t_normal_map[..., 2:3] < 0.15).astype(jnp.float32)
     normal_images = rendering[..., 9:12]
+    if detail_normal_images is not None:
+        normal_images = detail_normal_images
 
     shading = add_directionlight(
         normal_images.reshape(batch, -1, 3), lights)
@@ -239,6 +249,406 @@ def render_shape(vertices: jnp.ndarray, transformed_vertices: jnp.ndarray,
     if images is None:
         return shaded * alpha
     return shaded * alpha + images * (1.0 - alpha)
+
+
+# ---------------------------------------------------------------------------
+# UV-space texture / detail rendering (`renderer.py:121-206,331-340`)
+# ---------------------------------------------------------------------------
+
+# SH lighting constants (`renderer.py:114-119`)
+_PI = 3.141592653589793
+SH_CONSTANT_FACTOR = (
+    1.0 / (4.0 * _PI) ** 0.5,
+    ((2.0 * _PI) / 3.0) * (3.0 / (4.0 * _PI)) ** 0.5,
+    ((2.0 * _PI) / 3.0) * (3.0 / (4.0 * _PI)) ** 0.5,
+    ((2.0 * _PI) / 3.0) * (3.0 / (4.0 * _PI)) ** 0.5,
+    (_PI / 4.0) * 3.0 * (5.0 / (12.0 * _PI)) ** 0.5,
+    (_PI / 4.0) * 3.0 * (5.0 / (12.0 * _PI)) ** 0.5,
+    (_PI / 4.0) * 3.0 * (5.0 / (12.0 * _PI)) ** 0.5,
+    (_PI / 4.0) * 1.5 * (5.0 / (12.0 * _PI)) ** 0.5,
+    (_PI / 4.0) * 0.5 * (5.0 / (4.0 * _PI)) ** 0.5,
+)
+
+
+def add_shlight(normal_images: jnp.ndarray, sh_coeff: jnp.ndarray
+                ) -> jnp.ndarray:
+    """9-band spherical-harmonic shading (`renderer.py:193-206`).
+
+    normal_images (B, S, S, 3) NHWC; sh_coeff (B, 9, 3). Returns
+    (B, S, S, 3) shading."""
+    nx, ny, nz = (normal_images[..., 0], normal_images[..., 1],
+                  normal_images[..., 2])
+    basis = jnp.stack([
+        jnp.ones_like(nx), nx, ny, nz, nx * ny, nx * nz, ny * nz,
+        nx ** 2 - ny ** 2, 3.0 * nz ** 2 - 1.0,
+    ], axis=-1)                                           # (B, S, S, 9)
+    basis = basis * jnp.asarray(SH_CONSTANT_FACTOR, basis.dtype)
+    return jnp.einsum("bijk,bkc->bijc", basis, sh_coeff)
+
+
+def add_pointlight(vertices: jnp.ndarray, normals: jnp.ndarray,
+                   lights: jnp.ndarray) -> jnp.ndarray:
+    """Point lighting (`renderer.py:208-220`): mean over lights of
+    (n·dir)·intensity — NOT clamped, unlike the directional variant.
+    vertices/normals (B, N, 3); lights (B, L, 6)."""
+    pos = lights[:, :, :3]
+    intensity = lights[:, :, 3:]
+    d = pos[:, :, None, :] - vertices[:, None, :, :]       # (B, L, N, 3)
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    ndl = jnp.einsum("blnd,bnd->bln", d, normals)
+    shading = ndl[:, :, :, None] * intensity[:, :, None, :]
+    return shading.mean(axis=1)
+
+
+def process_uvcoords(uvcoords: jnp.ndarray) -> jnp.ndarray:
+    """Raw obj vt coords (V', 2) in [0, 1] → rasterizer frame (V', 3):
+    append z=1, map to [-1, 1], negate y (`renderer.py:102-103`)."""
+    uv = uvcoords * 2.0 - 1.0
+    uv = uv.at[:, 1].multiply(-1.0)
+    ones = jnp.ones((uvcoords.shape[0], 1), uvcoords.dtype)
+    return jnp.concatenate([uv, ones], axis=-1)
+
+
+def render_textured(vertices: jnp.ndarray, transformed_vertices: jnp.ndarray,
+                    faces: jnp.ndarray, albedos: jnp.ndarray,
+                    uvcoords: jnp.ndarray, uvfaces: jnp.ndarray,
+                    lights: Optional[jnp.ndarray] = None,
+                    light_type: str = "point", image_size: int = 224,
+                    chunk: int = 256) -> Dict[str, jnp.ndarray]:
+    """Textured render (`SRenderY.forward`, `renderer.py:121-191`).
+
+    vertices (B, V, 3) world mesh (for shading normals);
+    transformed_vertices (B, V, 3) projected NDC mesh; faces (F, 3);
+    albedos (B, Ht, Wt, 3) NHWC UV texture map; uvcoords (V', 2) raw obj
+    vt coords; uvfaces (F, 3) texture-index triple per face; lights
+    (B, 9, 3) SH or (B, L, 6) point/directional. Returns the reference's
+    output dict, all images NHWC."""
+    batch = vertices.shape[0]
+    tv = transformed_vertices.at[:, :, 2].add(10.0)       # `renderer.py:135`
+
+    fv_world = face_vertices(vertices, faces)
+    normals = vertex_normals(vertices, faces)
+    face_normals = face_vertices(normals, faces)
+    t_normals = vertex_normals(tv, faces)
+    t_face_normals = face_vertices(t_normals, faces)
+
+    f_uv = process_uvcoords(uvcoords)[uvfaces]             # (F, 3, 3)
+    f_uv = jnp.broadcast_to(f_uv[None], (batch,) + f_uv.shape)
+    attributes = jnp.concatenate(
+        [f_uv, jax.lax.stop_gradient(t_face_normals),
+         jax.lax.stop_gradient(fv_world), face_normals], axis=-1)  # D=12
+
+    rendering, cover = rasterize(tv, faces, attributes, image_size, chunk)
+    alpha = jax.lax.stop_gradient(cover[..., None])
+
+    grid = rendering[..., 0:2]                             # uv (x, y)
+    from ..nn import grid_sample
+    albedo_images = grid_sample(albedos, grid, align_corners=False)
+
+    t_normal_map = jax.lax.stop_gradient(rendering[..., 3:6])
+    pos_mask = (t_normal_map[..., 2:3] < -0.05).astype(jnp.float32)
+
+    normal_images = rendering[..., 9:12]
+    if lights is None:
+        images = albedo_images
+        shading_images = jax.lax.stop_gradient(images) * 0.0
+    else:
+        if lights.shape[1] == 9:                           # SH coefficients
+            shading_images = add_shlight(normal_images, lights)
+        elif light_type == "point":
+            vert_images = jax.lax.stop_gradient(
+                rendering[..., 6:9]).reshape(batch, -1, 3)
+            shading = add_pointlight(
+                vert_images, normal_images.reshape(batch, -1, 3), lights)
+            shading_images = shading.reshape(
+                batch, image_size, image_size, 3)
+        else:
+            shading = add_directionlight(
+                normal_images.reshape(batch, -1, 3), lights)
+            shading_images = shading.reshape(
+                batch, image_size, image_size, 3)
+        images = albedo_images * shading_images
+
+    return {
+        "images": images * alpha,
+        "albedo_images": albedo_images * alpha,
+        "alpha_images": alpha,
+        "pos_mask": pos_mask,
+        "shading_images": shading_images,
+        "grid": grid,
+        "normals": normals,
+        "normal_images": normal_images * alpha,
+        "transformed_normals": t_normals,
+    }
+
+
+def world2uv(vertices: jnp.ndarray, faces: jnp.ndarray,
+             uvcoords: jnp.ndarray, uvfaces: jnp.ndarray,
+             uv_size: int = 256, chunk: int = 256) -> jnp.ndarray:
+    """Rasterize per-vertex world positions into UV space
+    (`renderer.py:331-340`): every UV texel covered by a face gets the
+    barycentric interpolation of that face's world-space vertices.
+
+    vertices (B, V, 3); faces (F, 3); uvcoords (V', 2) raw; uvfaces (F, 3).
+    Returns (B, uv, uv, 3)."""
+    batch = vertices.shape[0]
+    fv = face_vertices(vertices, faces)                    # (B, F, 3, 3)
+    uvc3 = process_uvcoords(uvcoords)
+    uv_pos = jnp.broadcast_to(uvc3[None], (batch,) + uvc3.shape)
+    out, _ = rasterize(uv_pos, uvfaces, fv, uv_size, chunk)
+    return out
+
+
+def generate_triangles(h: int, w: int, margin_x: int = 2,
+                       margin_y: int = 5) -> np.ndarray:
+    """Dense grid triangulation of a (h, w) UV map
+    (`decalib/utils/util.py:155-170`), same winding (the reference builds
+    two CCW quads then swaps columns [0,2,1]). Host-side numpy; the result
+    is a static (F, 3) int array."""
+    # x-major enumeration like the reference's nested loops (x outer)
+    xs, ys = np.meshgrid(np.arange(margin_x, w - 1 - margin_x),
+                         np.arange(margin_y, h - 1 - margin_y),
+                         indexing="ij")
+    ys, xs = ys.reshape(-1), xs.reshape(-1)
+    t0 = np.stack([ys * w + xs, ys * w + xs + 1, (ys + 1) * w + xs], axis=1)
+    t1 = np.stack([ys * w + xs + 1, (ys + 1) * w + xs + 1,
+                   (ys + 1) * w + xs], axis=1)
+    tris = np.stack([t0, t1], axis=1).reshape(-1, 3)
+    return tris[:, [0, 2, 1]].astype(np.int32)
+
+
+def displacement2normal(uv_z: jnp.ndarray, coarse_verts: jnp.ndarray,
+                        coarse_normals: jnp.ndarray, faces: jnp.ndarray,
+                        assets: Params, chunk: int = 256) -> jnp.ndarray:
+    """Displacement map → detail normal map (`decalib/deca.py:114-126`).
+
+    uv_z (B, uv, uv, 1) from the detail decoder; coarse_verts/normals
+    (B, V, 3); faces (F, 3); assets: `load_render_assets` dict. Returns
+    (B, uv, uv, 3) detail normals."""
+    dense_verts, dense_faces, uv = _displaced_uv_vertices(
+        uv_z, coarse_verts, coarse_normals, faces, assets, chunk)
+    n = vertex_normals(dense_verts, dense_faces)
+    return n.reshape(uv_z.shape[0], uv, uv, 3)
+
+
+def displacement2vertex(uv_z: jnp.ndarray, coarse_verts: jnp.ndarray,
+                        coarse_normals: jnp.ndarray, faces: jnp.ndarray,
+                        assets: Params, chunk: int = 256):
+    """Displacement map → dense detail vertices + faces
+    (`decalib/deca.py:128-141`)."""
+    dense_verts, dense_faces, _ = _displaced_uv_vertices(
+        uv_z, coarse_verts, coarse_normals, faces, assets, chunk)
+    return dense_verts, dense_faces
+
+
+def _displaced_uv_vertices(uv_z, coarse_verts, coarse_normals, faces,
+                           assets, chunk):
+    uv = uv_z.shape[1]
+    uvcoords, uvfaces = assets["uvcoords"], assets["uvfaces"]
+    uv_cv = jax.lax.stop_gradient(
+        world2uv(coarse_verts, faces, uvcoords, uvfaces, uv, chunk))
+    uv_cn = world2uv(coarse_normals, faces, uvcoords, uvfaces, uv, chunk)
+    uv_z = uv_z * assets["uv_face_eye_mask"]
+    fixed = assets["fixed_uv_dis"][None, :, :, None]
+    detail_verts = (uv_cv + uv_z * uv_cn
+                    + fixed * jax.lax.stop_gradient(uv_cn))
+    dense_faces = assets.get("dense_faces")
+    if dense_faces is None:
+        dense_faces = jnp.asarray(generate_triangles(uv, uv))
+    return detail_verts.reshape(uv_z.shape[0], -1, 3), dense_faces, uv
+
+
+def visofp(transformed_normals: jnp.ndarray, flame_params: Params
+           ) -> jnp.ndarray:
+    """68-landmark visibility from per-vertex normal direction
+    (`decalib/deca.py:143-148` + `FLAME.seletec_3d68`)."""
+    from .flame import vertices2landmarks
+    n68 = vertices2landmarks(transformed_normals, flame_params["faces"],
+                             flame_params["full_lmk_faces_idx"],
+                             flame_params["full_lmk_bary_coords"])
+    return (n68[:, :, 2:] < 0.1).astype(jnp.float32)
+
+
+def load_render_assets(obj_path: str, uv_face_eye_mask_path: Optional[str]
+                       = None, fixed_displacement_path: Optional[str] = None,
+                       uv_size: int = 256) -> Params:
+    """Load the user-downloaded UV topology assets the reference reads in
+    `SRenderY.__init__`/`DECA.__init__` (`renderer.py:86-107`,
+    `decalib/deca.py:53-65`): head_template.obj (vt/f lines),
+    uv_face_eye_mask.png, fixed_displacement_256.npy. Missing optional
+    files default to an all-ones mask / zero displacement."""
+    uvcoords, uvfaces = load_obj_uv(obj_path)
+    if uv_face_eye_mask_path is not None:
+        from PIL import Image
+        m = np.asarray(Image.open(uv_face_eye_mask_path).convert("L").resize(
+            (uv_size, uv_size)), np.float32) / 255.0
+        mask = (m > 0.5).astype(np.float32)[..., None]
+    else:
+        mask = np.ones((uv_size, uv_size, 1), np.float32)
+    if fixed_displacement_path is not None:
+        fixed = np.load(fixed_displacement_path).astype(np.float32)
+    else:
+        fixed = np.zeros((uv_size, uv_size), np.float32)
+    return {
+        "uvcoords": jnp.asarray(uvcoords),
+        "uvfaces": jnp.asarray(uvfaces),
+        "uv_face_eye_mask": jnp.asarray(mask),
+        "fixed_uv_dis": jnp.asarray(fixed),
+        "dense_faces": jnp.asarray(generate_triangles(uv_size, uv_size)),
+    }
+
+
+def synthetic_render_assets(key, n_faces: int, uv_size: int = 256,
+                            n_uv_verts: int = 64) -> Params:
+    """Random UV topology for tests (the real one comes from the
+    user-downloaded ``head_template.obj`` via `load_render_assets`) — the
+    same pattern as `flame.synthetic_flame_params`. uvfaces has one
+    texture triple per mesh face."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "uvcoords": jax.random.uniform(k1, (n_uv_verts, 2), jnp.float32,
+                                       0.05, 0.95),
+        "uvfaces": jax.random.randint(k2, (n_faces, 3), 0, n_uv_verts
+                                      ).astype(jnp.int32),
+        "uv_face_eye_mask": jnp.ones((uv_size, uv_size, 1), jnp.float32),
+        "fixed_uv_dis": jnp.zeros((uv_size, uv_size), jnp.float32),
+        "dense_faces": jnp.asarray(generate_triangles(uv_size, uv_size)),
+    }
+
+
+def load_obj_uv(path: str):
+    """Minimal Wavefront-obj UV reader (replaces pytorch3d `load_obj`,
+    `renderer.py:86-89`): returns (uvcoords (V', 2) f32, uvfaces (F, 3)
+    int32 0-based texture indices from the f v/vt[/vn] triples)."""
+    uvcoords, uvfaces = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "vt":
+                uvcoords.append([float(parts[1]), float(parts[2])])
+            elif parts[0] == "f":
+                idx = []
+                for vert in parts[1:4]:
+                    fields = vert.split("/")
+                    if len(fields) > 1 and fields[1]:
+                        idx.append(int(fields[1]) - 1)
+                if len(idx) == 3:
+                    uvfaces.append(idx)
+    return (np.asarray(uvcoords, np.float32),
+            np.asarray(uvfaces, np.int32))
+
+
+def decode_deca(params: Params, codedict: Dict[str, jnp.ndarray],
+                assets: Params, image_size: int = 224,
+                uv_size: int = 256, use_tex: bool = False,
+                draw_landmarks: bool = True, chunk: int = 256):
+    """The reference's visualization decode (`decalib/deca.py:160-227`):
+    FLAME decode → textured render + SH-lit detail normals → shape /
+    shape-detail overlays → UV texture extraction.
+
+    codedict: encode output {shape, tex, exp, pose, cam, light, detail,
+    images} with images (B, S, S, 3) NHWC in [0, 1]. assets:
+    `load_render_assets`. Returns (opdict, visdict) with the reference's
+    keys, NHWC. draw_landmarks renders the landmark overlays on the host
+    (`util.tensor_vis_landmarks`) — pass False to keep the function
+    jit-traceable (visdict then carries the raw point arrays)."""
+    from ...geometry.rotations import batch_orth_proj
+    from ..nn import grid_sample
+    from .deca import detail_generator_forward
+    from .flame import flame_forward, flametex_forward
+
+    images = codedict["images"]
+    batch = images.shape[0]
+    fl = params["flame"]
+
+    verts, landmarks2d, landmarks3d = flame_forward(
+        fl, codedict["shape"], codedict["exp"], codedict["pose"])
+    uv_z = detail_generator_forward(
+        params["d_detail"],
+        jnp.concatenate([codedict["pose"][:, 3:], codedict["exp"],
+                         codedict["detail"]], axis=1))
+    if use_tex:
+        albedo = flametex_forward(params["flametex"], codedict["tex"])
+    else:
+        albedo = jnp.zeros((batch, uv_size, uv_size, 3), jnp.float32)
+
+    def project(pts, keep3d):
+        p = batch_orth_proj(pts, codedict["cam"])
+        p = p.at[:, :, 1:].multiply(-1.0)
+        if not keep3d:
+            p = p[:, :, :2]
+        return p * (image_size / 2.0) + image_size / 2.0
+
+    landmarks2d = project(landmarks2d, keep3d=False)
+    landmarks3d = project(landmarks3d, keep3d=True)
+    trans_verts = batch_orth_proj(verts, codedict["cam"])
+    trans_verts = trans_verts.at[:, :, 1:].multiply(-1.0)
+
+    ops = render_textured(verts, trans_verts, fl["faces"], albedo,
+                          assets["uvcoords"], assets["uvfaces"],
+                          lights=codedict["light"], image_size=image_size,
+                          chunk=chunk)
+    uv_detail_normals = displacement2normal(uv_z, verts, ops["normals"],
+                                            fl["faces"], assets, chunk)
+    uv_shading = add_shlight(uv_detail_normals, codedict["light"])
+    uv_texture = albedo * uv_shading
+
+    lm3d_vis = visofp(ops["transformed_normals"], fl)
+    landmarks3d = jnp.concatenate([landmarks3d, lm3d_vis], axis=2)
+
+    shape_images = render_shape(verts, trans_verts, fl["faces"],
+                                image_size=image_size, chunk=chunk)
+    detail_normal_images = grid_sample(
+        uv_detail_normals, ops["grid"], align_corners=False
+    ) * ops["alpha_images"]
+    shape_detail_images = render_shape(
+        verts, trans_verts, fl["faces"],
+        detail_normal_images=detail_normal_images, image_size=image_size,
+        chunk=chunk)
+
+    uv_pverts = world2uv(trans_verts, fl["faces"], assets["uvcoords"],
+                         assets["uvfaces"], uv_size, chunk)
+    uv_gt = grid_sample(images, uv_pverts[..., :2], align_corners=False)
+    mask = assets["uv_face_eye_mask"]
+    if use_tex:
+        uv_texture_gt = uv_gt * mask + uv_texture * (1.0 - mask) * 0.7
+    else:
+        uv_texture_gt = uv_gt * mask + jnp.ones_like(uv_gt) * (1.0 - mask) * 0.7
+
+    opdict = {
+        "vertices": verts,
+        "normals": ops["normals"],
+        "transformed_vertices": trans_verts,
+        "landmarks2d": landmarks2d,
+        "landmarks3d": landmarks3d,
+        "uv_detail_normals": uv_detail_normals,
+        "uv_texture_gt": uv_texture_gt,
+        "displacement_map": uv_z + assets["fixed_uv_dis"][None, :, :, None],
+    }
+    if use_tex:
+        opdict["albedo"] = albedo
+        opdict["uv_texture"] = uv_texture
+
+    if draw_landmarks:
+        from ...utils.visualization import vis_landmarks
+        lm2d_vis = jnp.asarray(vis_landmarks(images, landmarks2d,
+                                             is_scale=False))
+        lm3d_vis_img = jnp.asarray(vis_landmarks(images, landmarks3d,
+                                                 is_scale=False))
+    else:
+        lm2d_vis, lm3d_vis_img = landmarks2d, landmarks3d
+    visdict = {
+        "inputs": images,
+        "landmarks2d": lm2d_vis,
+        "landmarks3d": lm3d_vis_img,
+        "shape_images": shape_images,
+        "shape_detail_images": shape_detail_images,
+    }
+    if use_tex:
+        visdict["rendered_images"] = ops["images"]
+    return opdict, visdict
 
 
 def shape_visualization(params: Params, codedict: Dict[str, jnp.ndarray],

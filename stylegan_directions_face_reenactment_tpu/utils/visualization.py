@@ -20,6 +20,85 @@ from .image_utils import tensor_to_image
 Params = Dict[str, Any]
 
 
+# 68-landmark contour segmentation (`decalib/utils/util.py:522`):
+# indices where the polyline breaks (jaw / brows / nose / eyes / lips)
+END_LIST = np.array([17, 22, 27, 42, 48, 31, 36, 68], np.int32) - 1
+
+_KPT_COLORS = {"r": (255, 0, 0), "g": (0, 255, 0),
+               "b": (255, 0, 0)}  # 'b'→red replicates the reference bug
+
+
+def _draw_disk(img: np.ndarray, x: float, y: float, color, radius: int = 2):
+    h, w = img.shape[:2]
+    xi, yi = int(round(x)), int(round(y))
+    if not (0 <= xi < w and 0 <= yi < h):
+        return
+    y0, y1 = max(0, yi - radius), min(h, yi + radius + 1)
+    x0, x1 = max(0, xi - radius), min(w, xi + radius + 1)
+    img[y0:y1, x0:x1] = color
+
+
+def _draw_line(img: np.ndarray, p0, p1, color):
+    h, w = img.shape[:2]
+    n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]))) + 1
+    xs = np.clip(np.round(np.linspace(p0[0], p1[0], n)), 0, w - 1).astype(int)
+    ys = np.clip(np.round(np.linspace(p0[1], p1[1], n)), 0, h - 1).astype(int)
+    img[ys, xs] = color
+
+
+def plot_kpts(image: np.ndarray, kpts: np.ndarray, color: str = "r"
+              ) -> np.ndarray:
+    """cv2-free `decalib/utils/util.py::plot_kpts`: 2-px point disks +
+    white connecting segments between consecutive landmarks within each
+    facial contour group; 4-column kpts recolor per-point by visibility
+    (green >0.5 else blue). image (H, W, 3) uint8-range float, kpts
+    (68, 2|3|4) pixel coords."""
+    img = image.copy()
+    base = _KPT_COLORS[color]
+    for i in range(kpts.shape[0]):
+        c = base
+        if kpts.shape[1] == 4:
+            c = (0, 255, 0) if kpts[i, 3] > 0.5 else (0, 0, 255)
+        if i not in END_LIST and i + 1 < kpts.shape[0]:
+            _draw_line(img, kpts[i, :2], kpts[i + 1, :2], (255, 255, 255))
+        _draw_disk(img, kpts[i, 0], kpts[i, 1], c)
+    return img
+
+
+def plot_verts(image: np.ndarray, kpts: np.ndarray, color: str = "r"
+               ) -> np.ndarray:
+    """`util.py::plot_verts`: point disks only (no contour lines)."""
+    img = image.copy()
+    for i in range(kpts.shape[0]):
+        _draw_disk(img, kpts[i, 0], kpts[i, 1], _KPT_COLORS[color], 1)
+    return img
+
+
+def vis_landmarks(images, landmarks, gt_landmarks=None, color: str = "g",
+                  is_scale: bool = True) -> np.ndarray:
+    """`decalib/utils/util.py::tensor_vis_landmarks` without cv2/torch:
+    images (B, H, W, 3) NHWC float [0, 1]; landmarks (B, 68, 2+) in pixel
+    coords (is_scale=False) or [-1, 1] (is_scale=True). Returns drawn
+    images, same layout, float [0, 1]. (The reference's double BGR flip
+    cancels; colors land as written.)"""
+    images = np.asarray(images, np.float32)
+    landmarks = np.asarray(landmarks, np.float32)
+    out = []
+    for i in range(images.shape[0]):
+        img = images[i] * 255.0
+        kpts = landmarks[i]
+        if is_scale:
+            kpts = kpts * img.shape[0] / 2 + img.shape[0] / 2
+        draw = plot_kpts if kpts.shape[0] == 68 else plot_verts
+        img = draw(img, kpts, color)
+        if gt_landmarks is not None:
+            gt = np.asarray(gt_landmarks[i], np.float32)
+            img = plot_verts(img, gt * img.shape[0] / 2 + img.shape[0] / 2,
+                             "r")
+        out.append(img)
+    return np.stack(out) / 255.0
+
+
 def save_gif(frames: List[np.ndarray], path: str, fps: int = 15):
     """uint8 HWC frames → animated GIF (reference uses imageio.mimsave,
     `run_facial_editing.py:191-207`)."""
