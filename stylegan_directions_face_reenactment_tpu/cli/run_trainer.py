@@ -77,10 +77,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    args_ns = build_parser().parse_args(argv)
+    if args_ns.dcn_slices > 1:
+        # must precede ANY backend-initializing JAX call (model loads,
+        # device ops) — jax.distributed.initialize refuses afterwards
+        from ..parallel import distributed_init
+        distributed_init()
+
     from ..utils.jax_cache import enable_persistent_cache
     enable_persistent_cache()
-
-    args_ns = build_parser().parse_args(argv)
     from ..configs.arguments import TrainingArguments
     from ..train import FrozenModels, Trainer
     from .model_loading import (compute_trunc, load_deca, load_face_models,
@@ -121,8 +126,7 @@ def main(argv=None):
 
     mesh = None
     if args_ns.dcn_slices > 1:
-        from ..parallel import distributed_init, make_hybrid_mesh
-        distributed_init()  # no-op unless coordinator env vars are set
+        from ..parallel import make_hybrid_mesh
         mesh = make_hybrid_mesh(args_ns.n_devices,
                                 dcn_slices=args_ns.dcn_slices)
     elif args_ns.n_devices is not None and args_ns.n_devices > 1:

@@ -447,11 +447,13 @@ def _displaced_uv_vertices(uv_z, coarse_verts, coarse_normals, faces,
     uvcoords, uvfaces = assets["uvcoords"], assets["uvfaces"]
     uv_cv = jax.lax.stop_gradient(
         world2uv(coarse_verts, faces, uvcoords, uvfaces, uv, chunk))
-    uv_cn = world2uv(coarse_normals, faces, uvcoords, uvfaces, uv, chunk)
+    # the reference detaches uv_coarse_normals at creation
+    # (`decalib/deca.py:119`): gradient flows ONLY through uv_z
+    uv_cn = jax.lax.stop_gradient(
+        world2uv(coarse_normals, faces, uvcoords, uvfaces, uv, chunk))
     uv_z = uv_z * assets["uv_face_eye_mask"]
     fixed = assets["fixed_uv_dis"][None, :, :, None]
-    detail_verts = (uv_cv + uv_z * uv_cn
-                    + fixed * jax.lax.stop_gradient(uv_cn))
+    detail_verts = uv_cv + uv_z * uv_cn + fixed * uv_cn
     dense_faces = assets.get("dense_faces")
     if dense_faces is None:
         dense_faces = jnp.asarray(generate_triangles(uv, uv))
@@ -519,8 +521,11 @@ def synthetic_render_assets(key, n_faces: int, uv_size: int = 256,
 def load_obj_uv(path: str):
     """Minimal Wavefront-obj UV reader (replaces pytorch3d `load_obj`,
     `renderer.py:86-89`): returns (uvcoords (V', 2) f32, uvfaces (F, 3)
-    int32 0-based texture indices from the f v/vt[/vn] triples)."""
+    int32 0-based texture indices from the f v/vt[/vn] tuples). Polygonal
+    faces are fan-triangulated like pytorch3d; faces without vt indices
+    are an error (the renderer cannot texture them)."""
     uvcoords, uvfaces = [], []
+    n_face_lines = 0
     with open(path) as f:
         for line in f:
             parts = line.split()
@@ -529,13 +534,20 @@ def load_obj_uv(path: str):
             if parts[0] == "vt":
                 uvcoords.append([float(parts[1]), float(parts[2])])
             elif parts[0] == "f":
+                n_face_lines += 1
                 idx = []
-                for vert in parts[1:4]:
+                for vert in parts[1:]:
                     fields = vert.split("/")
                     if len(fields) > 1 and fields[1]:
                         idx.append(int(fields[1]) - 1)
-                if len(idx) == 3:
-                    uvfaces.append(idx)
+                if 0 < len(idx) < 3:
+                    raise ValueError(
+                        f"{path}: face with fewer than 3 vt indices")
+                for i in range(1, len(idx) - 1):       # fan triangulation
+                    uvfaces.append([idx[0], idx[i], idx[i + 1]])
+    if n_face_lines and not uvfaces:
+        raise ValueError(f"{path}: faces carry no vt texture indices — "
+                         "the obj has no UV atlas to render with")
     return (np.asarray(uvcoords, np.float32),
             np.asarray(uvfaces, np.int32))
 
@@ -590,6 +602,13 @@ def decode_deca(params: Params, codedict: Dict[str, jnp.ndarray],
                           assets["uvcoords"], assets["uvfaces"],
                           lights=codedict["light"], image_size=image_size,
                           chunk=chunk)
+    # the reference's SRenderY.forward / render_shape mutate trans_verts
+    # IN PLACE (z += 10, `renderer.py:135,255`), so its decode_deca passes
+    # an already-shifted tensor into each later call and returns z+30 in
+    # opdict['transformed_vertices'] — replicate the accumulation (a
+    # constant z offset never changes the rendered images, only the
+    # returned vertex values)
+    trans_verts = trans_verts.at[:, :, 2].add(10.0)
     uv_detail_normals = displacement2normal(uv_z, verts, ops["normals"],
                                             fl["faces"], assets, chunk)
     uv_shading = add_shlight(uv_detail_normals, codedict["light"])
@@ -600,6 +619,7 @@ def decode_deca(params: Params, codedict: Dict[str, jnp.ndarray],
 
     shape_images = render_shape(verts, trans_verts, fl["faces"],
                                 image_size=image_size, chunk=chunk)
+    trans_verts = trans_verts.at[:, :, 2].add(10.0)
     detail_normal_images = grid_sample(
         uv_detail_normals, ops["grid"], align_corners=False
     ) * ops["alpha_images"]
@@ -607,6 +627,7 @@ def decode_deca(params: Params, codedict: Dict[str, jnp.ndarray],
         verts, trans_verts, fl["faces"],
         detail_normal_images=detail_normal_images, image_size=image_size,
         chunk=chunk)
+    trans_verts = trans_verts.at[:, :, 2].add(10.0)
 
     uv_pverts = world2uv(trans_verts, fl["faces"], assets["uvcoords"],
                          assets["uvfaces"], uv_size, chunk)

@@ -73,6 +73,17 @@ def make_hybrid_mesh(n_devices: Optional[int] = None,
     if dcn_slices < 1:
         raise ValueError(f"dcn_slices must be >= 1, got {dcn_slices}")
     if devices is None and jax.process_count() > 1:
+        n_proc = jax.process_count()
+        if dcn_slices != n_proc:
+            raise ValueError(
+                f"multi-process hybrid mesh: dcn_slices ({dcn_slices}) must "
+                f"equal the process count ({n_proc}) — one DCN row per "
+                "host/slice (grouping multiple hosts per row is not "
+                "supported)")
+        if n_devices is not None and n_devices != len(jax.devices()):
+            raise ValueError(
+                f"n_devices ({n_devices}) cannot restrict a multi-process "
+                f"mesh — all {len(jax.devices())} devices participate")
         from jax.experimental import mesh_utils
         n_local = len(jax.local_devices())
         grid = mesh_utils.create_hybrid_device_mesh(
@@ -94,18 +105,25 @@ def make_hybrid_mesh(n_devices: Optional[int] = None,
     return Mesh(grid, tuple(axis_names))
 
 
+_DIST_INITIALIZED = False
+
+
 def distributed_init(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> bool:
     """Initialize JAX multi-process mode for a multi-host pod (DCN).
 
+    MUST run before any JAX call that initializes the XLA backend
+    (`jax.distributed.initialize` refuses otherwise) — the CLIs call this
+    at the very top of main(), before any model load or device op.
+
     Arguments fall back to the standard ``JAX_COORDINATOR_ADDRESS`` /
     ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` environment variables (and
     on Cloud TPU VMs `jax.distributed.initialize()` autodetects all three).
-    Returns True if multi-process mode was (or already is) active. No-op
-    single-process — callers can invoke it unconditionally."""
-    if jax.process_count() > 1:
-        return True
+    Returns True if multi-process mode is active after the call. With
+    nothing configured it touches no JAX state at all (so a later
+    backend init still sees pristine flags) and returns False."""
+    global _DIST_INITIALIZED
     coordinator_address = (coordinator_address
                            or os.environ.get("JAX_COORDINATOR_ADDRESS"))
     env_np = os.environ.get("JAX_NUM_PROCESSES")
@@ -115,11 +133,14 @@ def distributed_init(coordinator_address: Optional[str] = None,
     process_id = (process_id if process_id is not None
                   else int(env_pid) if env_pid else None)
     if coordinator_address is None and num_processes is None:
-        return False  # single-process run, nothing to set up
+        return _DIST_INITIALIZED  # nothing configured: strict no-op
+    if _DIST_INITIALIZED:
+        return True
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
-    return jax.process_count() > 1
+    _DIST_INITIALIZED = True
+    return True
 
 
 def batch_sharding(mesh: Mesh, axis_name: Optional[str] = None) -> NamedSharding:
@@ -141,24 +162,48 @@ def shard_batch(mesh: Mesh, batch, axis_name: Optional[str] = None):
     """Place a pytree of arrays with axis-0 sharded over the mesh (all mesh
     axes). Non-array leaves (static metadata ints/strings) pass through.
 
-    Multi-process (pod) semantics: each process passes its PER-HOST slice of
-    the global batch (the data loader already walks a disjoint shard of the
-    dataset per host) and the global array is assembled from the local
-    shards; single-process passes the full batch."""
+    Multi-process (pod) semantics: every process passes the SAME full
+    global batch (all hosts walk the same dataset tree with the same seed,
+    so the host-side batch construction is replicated computation); each
+    process then contributes only its own contiguous row-block — process p
+    owns DCN row p of the hybrid mesh, and row-major batch sharding gives
+    it rows [p·B/P, (p+1)·B/P) — assembled into the global array without
+    any cross-host transfer. Single-process: a plain device_put."""
     s = batch_sharding(mesh, axis_name)
     if jax.process_count() > 1:
+        p, n_proc = jax.process_index(), jax.process_count()
+
         def place(x):
             if not _is_array(x):
                 return x
-            return jax.make_array_from_process_local_data(s, np.asarray(x))
+            x = np.asarray(x)
+            if x.shape[0] % n_proc != 0:
+                raise ValueError(
+                    f"global batch {x.shape[0]} must divide the process "
+                    f"count {n_proc}")
+            per = x.shape[0] // n_proc
+            local = x[p * per:(p + 1) * per]
+            return jax.make_array_from_process_local_data(
+                s, local, global_shape=x.shape)
         return jax.tree_util.tree_map(place, batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, s) if _is_array(x) else x, batch)
 
 
 def replicate(mesh: Mesh, tree):
-    """Fully replicate a parameter pytree over the mesh (arrays only)."""
+    """Fully replicate a parameter pytree over the mesh (arrays only).
+    Multi-process: every process passes the same host values (replicated
+    computation — same checkpoints / same init seed) and contributes its
+    local copies, assembled without cross-host transfer."""
     s = replicated(mesh)
+    if jax.process_count() > 1:
+        def place(x):
+            if not _is_array(x):
+                return x
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(
+                s, x, global_shape=x.shape)
+        return jax.tree_util.tree_map(place, tree)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, s) if _is_array(x) else x, tree)
 

@@ -29,39 +29,49 @@ _KPT_COLORS = {"r": (255, 0, 0), "g": (0, 255, 0),
 
 
 def _draw_disk(img: np.ndarray, x: float, y: float, color, radius: int = 2):
+    """Filled disk (dx²+dy² ≤ r², cv2.circle-like rounding) clipped to the
+    frame; off-frame centers draw nothing."""
     h, w = img.shape[:2]
     xi, yi = int(round(x)), int(round(y))
     if not (0 <= xi < w and 0 <= yi < h):
         return
-    y0, y1 = max(0, yi - radius), min(h, yi + radius + 1)
-    x0, x1 = max(0, xi - radius), min(w, xi + radius + 1)
-    img[y0:y1, x0:x1] = color
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dx * dx + dy * dy <= radius * radius:
+                yy, xx = yi + dy, xi + dx
+                if 0 <= yy < h and 0 <= xx < w:
+                    img[yy, xx] = color
 
 
 def _draw_line(img: np.ndarray, p0, p1, color):
+    """1-px segment, CLIPPED like cv2.line: out-of-frame samples are
+    dropped, never projected onto the border."""
     h, w = img.shape[:2]
     n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]))) + 1
-    xs = np.clip(np.round(np.linspace(p0[0], p1[0], n)), 0, w - 1).astype(int)
-    ys = np.clip(np.round(np.linspace(p0[1], p1[1], n)), 0, h - 1).astype(int)
-    img[ys, xs] = color
+    xs = np.round(np.linspace(p0[0], p1[0], n))
+    ys = np.round(np.linspace(p0[1], p1[1], n))
+    keep = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    img[ys[keep].astype(int), xs[keep].astype(int)] = color
 
 
 def plot_kpts(image: np.ndarray, kpts: np.ndarray, color: str = "r"
               ) -> np.ndarray:
     """cv2-free `decalib/utils/util.py::plot_kpts`: 2-px point disks +
     white connecting segments between consecutive landmarks within each
-    facial contour group; 4-column kpts recolor per-point by visibility
-    (green >0.5 else blue). image (H, W, 3) uint8-range float, kpts
-    (68, 2|3|4) pixel coords."""
+    facial contour group, drawn in the reference's order (point i's disk,
+    then the white line i→i+1 on top of it); 4-column kpts recolor
+    per-point by visibility (green >0.5 else blue). image (H, W, 3)
+    uint8-range float, kpts (68, 2|3|4) pixel coords. (cv2.circle's exact
+    anti-alias/rounding is approximated by an integer disk.)"""
     img = image.copy()
     base = _KPT_COLORS[color]
     for i in range(kpts.shape[0]):
         c = base
         if kpts.shape[1] == 4:
             c = (0, 255, 0) if kpts[i, 3] > 0.5 else (0, 0, 255)
+        _draw_disk(img, kpts[i, 0], kpts[i, 1], c)
         if i not in END_LIST and i + 1 < kpts.shape[0]:
             _draw_line(img, kpts[i, :2], kpts[i + 1, :2], (255, 255, 255))
-        _draw_disk(img, kpts[i, 0], kpts[i, 1], c)
     return img
 
 

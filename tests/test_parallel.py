@@ -106,12 +106,13 @@ def test_shard_batch_hybrid_all_axes():
     np.testing.assert_array_equal(np.asarray(placed), x)
 
 
-def test_distributed_init_noop_single_process():
-    """No coordinator configured → returns False and leaves the process
-    single-controller (the CLI calls it unconditionally)."""
+def test_distributed_init_noop_single_process(monkeypatch):
+    """No coordinator configured → returns False WITHOUT touching any JAX
+    state (the CLI calls it before the backend initializes, where a stray
+    jax.process_count() would pin the backend prematurely)."""
     for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
                 "JAX_PROCESS_ID"):
-        assert var not in os.environ
+        monkeypatch.delenv(var, raising=False)
     assert distributed_init() is False
     assert jax.process_count() == 1
 

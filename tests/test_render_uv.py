@@ -276,6 +276,19 @@ def test_load_obj_uv(tmp_path):
     assert assets["fixed_uv_dis"].shape == (8, 8)
     assert assets["dense_faces"].ndim == 2
 
+    # quad faces fan-triangulate like pytorch3d's load_obj
+    q = tmp_path / "quad.obj"
+    q.write_text("vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+                 "f 1/1 2/2 3/3 4/4\n")
+    _, qf = load_obj_uv(str(q))
+    np.testing.assert_array_equal(qf, [[0, 1, 2], [0, 2, 3]])
+
+    # faces without vt indices are an error, not silently empty topology
+    bad = tmp_path / "bad.obj"
+    bad.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    with pytest.raises(ValueError, match="vt"):
+        load_obj_uv(str(bad))
+
 
 @pytest.mark.slow
 def test_decode_deca_structure():
@@ -316,6 +329,19 @@ def test_decode_deca_structure():
         assert k in visdict, k
         assert visdict[k].shape[0] == 2
     assert visdict["shape_images"].shape == (2, size, size, 3)
+    # the reference's in-place z += 10 mutations accumulate: the returned
+    # transformed_vertices carry z+30 relative to the raw projection
+    # (`renderer.py:135,255` ×3 calls before opdict is built)
+    from stylegan_directions_face_reenactment_tpu.geometry.rotations import (
+        batch_orth_proj)
+    tv_raw = batch_orth_proj(opdict["vertices"], code["cam"])
+    tv_raw = tv_raw.at[:, :, 1:].multiply(-1.0)
+    np.testing.assert_allclose(
+        np.asarray(opdict["transformed_vertices"][:, :, 2]
+                   - tv_raw[:, :, 2]), 30.0, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(opdict["transformed_vertices"][:, :, :2]),
+        np.asarray(tv_raw[:, :, :2]), atol=1e-5)
     # all-ones mask (synthetic assets) → uv_texture_gt is exactly the
     # grid-sampled input images (`deca.py:195-198` with mask==1)
     from stylegan_directions_face_reenactment_tpu.models.nn import grid_sample
@@ -329,19 +355,33 @@ def test_decode_deca_structure():
 def test_vis_landmarks_drawing():
     from stylegan_directions_face_reenactment_tpu.utils.visualization import (
         vis_landmarks)
-    imgs = np.zeros((1, 32, 32, 3), np.float32)
-    lms = np.tile(np.asarray([[16.0, 16.0]]), (68, 1))[None]
+    size = 64
+    imgs = np.zeros((1, size, size, 3), np.float32)
+    # points along a horizontal row, 8 px apart: disks at the points,
+    # white 1-px line segments between consecutive in-group points
+    lms = np.zeros((1, 68, 2), np.float32)
+    lms[0, :, 0] = 4 + (np.arange(68) % 32) * 1.75
+    lms[0, :, 1] = 8 + (np.arange(68) // 32) * 20
     out = vis_landmarks(imgs, lms, is_scale=False)
-    assert out.shape == (1, 32, 32, 3)
-    np.testing.assert_allclose(out[0, 16, 16], [0, 1, 0])  # green point
+    assert out.shape == (1, size, size, 3)
+    # disk pixels 2 rows off the line stay green (the line never reaches)
+    x0, y0 = int(round(lms[0, 0, 0])), int(round(lms[0, 0, 1]))
+    np.testing.assert_allclose(out[0, y0 + 2, x0], [0, 1, 0])
+    # between-point pixels on the line are white
+    assert (out[0, y0] == 1.0).all(axis=-1).any()
     # 4-column landmarks: per-point visibility coloring (green/blue)
     lms4 = np.concatenate([lms, np.zeros((1, 68, 1)),
                            np.zeros((1, 68, 1))], axis=2)
-    lms4[0, :, 0] = np.linspace(2, 29, 68)  # spread x
     lms4[0, :, 3] = (np.arange(68) % 2)     # alternate visibility
     out4 = vis_landmarks(imgs, lms4, is_scale=False)
     assert (out4[..., 1] == 1).any() and (out4[..., 2] == 1).any()
-    # gt landmarks draw red
-    gt = np.zeros((1, 68, 2), np.float32)  # scaled → center
+    # gt landmarks draw red on top
+    gt = np.zeros((1, 68, 2), np.float32)   # is-scale form → center
     outg = vis_landmarks(imgs, lms, gt_landmarks=gt, is_scale=False)
-    np.testing.assert_allclose(outg[0, 16, 16], [1, 0, 0])
+    np.testing.assert_allclose(outg[0, size // 2, size // 2], [1, 0, 0])
+    # off-frame landmarks draw nothing (cv2-style clipping, no border
+    # smearing)
+    far = np.full((1, 68, 2), 300.0, np.float32)
+    far[0, :, 1] = -40.0
+    out_far = vis_landmarks(imgs, far, is_scale=False)
+    np.testing.assert_allclose(out_far, 0.0)
