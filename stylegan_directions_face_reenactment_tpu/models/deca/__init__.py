@@ -12,3 +12,5 @@ from .deca import (init_deca, init_resnet_encoder, resnet_encoder_forward,
                    PARAM_SPLIT, N_PARAM, IMAGE_SIZE)
 from .render import (render_shape, shape_visualization, rasterize,
                      vertex_normals, face_vertices, add_directionlight)
+from .mesh_io import (write_obj, upsample_mesh, save_obj, save_ply,
+                      visualize, load_dense_template)
