@@ -205,15 +205,17 @@ def select_3d68(params: Params, vertices: jnp.ndarray) -> jnp.ndarray:
 
 def flametex_forward(params: Params, texcode: jnp.ndarray) -> jnp.ndarray:
     """FLAME texture PCA (`FLAME.py:216-262`; unused on the pipeline —
-    use_tex=False — included for component parity).
+    use_tex=False — included for component parity). params from
+    ``weights.load_flame_tex``.
 
     Returns (B, 256, 256, 3) NHWC texture (BGR-flipped like the reference).
+    The 512→256 downsample is ``F.interpolate``'s default NEAREST
+    (`FLAME.py:260`) — src index ⌊dst·2⌋, i.e. every other pixel.
     """
-    from ..nn import resize_bilinear
     tex = params["texture_mean"] + (params["texture_basis"]
                                     * texcode[:, None, :]).sum(-1)
     tex = tex.reshape(texcode.shape[0], 512, 512, 3)
-    tex = resize_bilinear(tex, (256, 256))
+    tex = tex[:, ::2, ::2, :]
     return tex[..., ::-1]
 
 

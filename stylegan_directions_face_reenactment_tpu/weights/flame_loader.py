@@ -101,3 +101,34 @@ def load_flame_params(model_path: str, lmk_embedding_path: str,
         "full_lmk_bary_coords": jnp.asarray(
             lk("full_lmk_bary_coords").reshape(-1, 3).astype(np.float32)),
     }
+
+
+def load_flame_tex(tex_path: str, tex_type: str = "BFM",
+                   n_tex: int = 50) -> Params:
+    """FLAME/BFM texture-space file → ``flametex_forward`` params
+    (`FLAME.py:223-252`): BFM files carry MU/PC (199 components, raw
+    0-255 scale), FLAME files carry mean/tex_dir (200 components,
+    pre-divided by 255). Basis is truncated to the first ``n_tex``
+    columns (DECA config ``n_tex=50``, `utils/config.py:30`)."""
+    tex_space = np.load(tex_path)
+
+    def basis_2d(arr, n_pc):
+        # the reference reshapes to its hardcoded component count
+        # (199 BFM / 200 FLAME); an already-2-D array keeps its own width
+        # (identical for the real files, tolerant of truncated fixtures)
+        arr = np.asarray(arr)
+        return arr if arr.ndim == 2 else arr.reshape(-1, n_pc)
+
+    if tex_type == "BFM":
+        texture_mean = np.asarray(tex_space["MU"]).reshape(1, -1)
+        texture_basis = basis_2d(tex_space["PC"], 199)
+    elif tex_type == "FLAME":
+        texture_mean = np.asarray(tex_space["mean"]).reshape(1, -1) / 255.0
+        texture_basis = basis_2d(tex_space["tex_dir"], 200) / 255.0
+    else:
+        raise ValueError(f"unknown tex_type {tex_type!r} (BFM or FLAME)")
+    return {
+        "texture_mean": jnp.asarray(texture_mean, jnp.float32),
+        "texture_basis": jnp.asarray(
+            texture_basis[:, :n_tex], jnp.float32),
+    }

@@ -189,3 +189,75 @@ def test_shapemodel_bf16_encode_close_to_f32():
         scale = float(jnp.abs(p32[k]).max()) + 1e-6
         assert float(jnp.abs(p16[k] - p32[k]).max()) / scale < 0.05
     assert a16.dtype == jnp.float32
+
+
+# ---------------------------------------------------------------- FLAMETex
+
+def _tex_space_arrays(rng, n_pc):
+    n = 512 * 512 * 3
+    mu = rng.random(n).astype(np.float32) * 255.0
+    pc = rng.standard_normal((n, n_pc)).astype(np.float32)
+    return mu, pc
+
+
+def test_flametex_live_parity():
+    """`flametex_forward` + `load_flame_tex` (BFM branch) vs the reference
+    FLAMETex __init__ math + AST-extracted forward (`FLAME.py:216-262`),
+    incl. the nearest 512->256 interpolate and the BGR flip."""
+    import types
+    import torch
+    import tempfile
+    from ref_loader import extract_ref_function
+    from stylegan_directions_face_reenactment_tpu.weights import (
+        load_flame_tex)
+    from stylegan_directions_face_reenactment_tpu.models.deca import (
+        flametex_forward)
+
+    rng = np.random.default_rng(0)
+    n_tex = 2
+    mu, pc = _tex_space_arrays(rng, n_pc=3)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "tex.npz")
+        np.savez(path, MU=mu, PC=pc)
+        params = load_flame_tex(path, tex_type="BFM", n_tex=n_tex)
+
+    # reference __init__ (BFM branch, FLAME.py:225-233) + buffers
+    texture_mean = torch.from_numpy(mu.reshape(1, -1)).float()[None]
+    texture_basis = torch.from_numpy(
+        pc.reshape(-1, 199 if pc.shape[1] >= 199 else pc.shape[1])
+        [:, :n_tex]).float()[None]
+    ref_forward = extract_ref_function(
+        "libs/DECA/decalib/models/FLAME.py", "forward",
+        class_name="FLAMETex")
+    self_ns = types.SimpleNamespace(texture_mean=texture_mean,
+                                    texture_basis=texture_basis)
+    texcode = rng.standard_normal((2, n_tex)).astype(np.float32)
+    ref = ref_forward(self_ns, torch.from_numpy(texcode))  # (B,3,256,256)
+    ref_nhwc = ref.permute(0, 2, 3, 1).numpy()
+
+    got = np.asarray(flametex_forward(params, jnp.asarray(texcode)))
+    assert got.shape == (2, 256, 256, 3)
+    np.testing.assert_allclose(got, ref_nhwc, rtol=1e-4, atol=1e-2)
+
+
+def test_load_flame_tex_flame_branch():
+    """FLAME-type texture spaces divide by 255 and carry 200 components
+    (`FLAME.py:235-242`)."""
+    import tempfile
+    from stylegan_directions_face_reenactment_tpu.weights import (
+        load_flame_tex)
+    rng = np.random.default_rng(1)
+    n = 512 * 512 * 3
+    mean = rng.random(n).astype(np.float32) * 255.0
+    tex_dir = rng.standard_normal((n, 4)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "tex.npz")
+        np.savez(path, mean=mean, tex_dir=tex_dir)
+        params = load_flame_tex(path, tex_type="FLAME", n_tex=3)
+        np.testing.assert_allclose(np.asarray(params["texture_mean"]),
+                                   mean.reshape(1, -1) / 255.0, rtol=1e-6)
+        assert params["texture_basis"].shape == (n, 3)
+        np.testing.assert_allclose(np.asarray(params["texture_basis"]),
+                                   tex_dir[:, :3] / 255.0, rtol=1e-6)
+        with pytest.raises(ValueError):
+            load_flame_tex(path, tex_type="nope")
