@@ -261,3 +261,43 @@ def test_load_flame_tex_flame_branch():
                                    tex_dir[:, :3] / 255.0, rtol=1e-6)
         with pytest.raises(ValueError):
             load_flame_tex(path, tex_type="nope")
+
+
+@pytest.mark.slow
+def test_detail_generator_live_parity():
+    """Converted D_detail forward vs the live reference decoder
+    (`decalib/models/decoders.py:19-56`): bilinear nn.Upsample chain,
+    the eps=0.8 BatchNorm quirk, tanh·out_scale."""
+    import torch
+    from ref_loader import install_reference_path
+    from stylegan_directions_face_reenactment_tpu.weights import (
+        torch_convert as tc)
+    install_reference_path()
+    from test_converter_schema import _stub_modules
+    _stub_modules("torchvision", "torchvision.models")
+    from libs.DECA.decalib.models.decoders import Generator as DetailGen
+    from libs.DECA.decalib.models import resnet as ref_resnet
+    torch.manual_seed(0)
+    latent = 128 + 53
+    ref = DetailGen(latent_dim=latent, out_channels=1, out_scale=0.01).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    enc = ref_resnet.ResNet(ref_resnet.Bottleneck, [3, 4, 6, 3])
+    e_flame = {f"encoder.{k}": v.detach().numpy()
+               for k, v in enc.state_dict().items()}
+    l0, l2 = torch.nn.Linear(2048, 1024), torch.nn.Linear(1024, 236)
+    e_flame.update({f"layers.0.{k}": v.detach().numpy()
+                    for k, v in l0.state_dict().items()})
+    e_flame.update({f"layers.2.{k}": v.detach().numpy()
+                    for k, v in l2.state_dict().items()})
+    params = tc.convert_deca(
+        {"E_flame": e_flame, "D_detail": sd},
+        synthetic_flame_params(jax.random.PRNGKey(0), n_verts=16,
+                               n_faces=20))["d_detail"]
+
+    rng = np.random.default_rng(2)
+    noise = rng.standard_normal((2, latent)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(noise)).numpy()          # (B,1,256,256)
+    got = np.asarray(detail_generator_forward(params, jnp.asarray(noise)))
+    assert got.shape == (2, 256, 256, 1)
+    np.testing.assert_allclose(got[..., 0], want[:, 0], rtol=1e-4, atol=5e-5)
