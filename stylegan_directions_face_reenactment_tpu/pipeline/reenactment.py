@@ -114,36 +114,32 @@ def reenact_batch(g_params: Params, a_params: Params, deca_params: Params,
     return reenacted, shifted_latents
 
 
-def make_reenact_fn(g_params: Params, a_params: Params, deca_params: Params,
-                    spec: DirectionsSpec, *, truncation: float = 0.7,
-                    truncation_latent: Optional[jnp.ndarray] = None,
-                    num_layers_shift: int = 8, compute_dtype=jnp.float32,
-                    fan_params: Optional[Params] = None,
-                    s3fd_params: Optional[Params] = None, mesh=None,
-                    return_target_params: bool = False,
-                    reuse_landmarks: bool = False):
-    """Jitted reenactor: (source_code, params_source, angles_source,
-    target_imgs) → (reenacted, latents). ``fan_params`` enables the
-    reference's FAN-warp DECA alignment on the target frames;
-    ``s3fd_params`` upgrades it to the faithful SFD-crop→FAN chain.
+def make_reenact_program(g_params: Params, a_params: Params,
+                         deca_params: Params, spec: DirectionsSpec, *,
+                         truncation: float = 0.7,
+                         truncation_latent: Optional[jnp.ndarray] = None,
+                         num_layers_shift: int = 8,
+                         compute_dtype=jnp.float32,
+                         fan_params: Optional[Params] = None,
+                         s3fd_params: Optional[Params] = None,
+                         return_target_params: bool = False,
+                         reuse_landmarks: bool = False):
+    """The raw jitted reenactment program plus its weights argument.
 
-    The frozen weights ride through jit as ARGUMENTS, not closure
-    constants — hundreds of MB of baked-in constants overflow compile
-    pipelines (the tunneled remote-compile rejects them outright).
-
-    ``mesh``: a `jax.sharding.Mesh` — the frozen weights are replicated
-    over it and every target-frame batch is sharded on axis 0 (frame data
-    parallelism; the frame batch must divide the mesh)."""
+    Returns ``(fn, weights)`` where ``fn(weights, source_code,
+    params_source, angles_source, target_imgs, *extra)`` is the single
+    jitted XLA program (weights ride as ARGUMENTS — baking 100s of MB of
+    frozen constants into the HLO overflows compile pipelines) and
+    ``weights`` is the array-only pytree to pass back in. The small
+    static config dicts are closed over inside ``fn``. Used directly by
+    :func:`make_reenact_fn` and by the AOT serving exporter
+    (`serving.py`), which serializes ``fn`` via `jax.export` and ships
+    ``weights`` alongside it."""
     from ..train.steps import merge_statics, strip_statics
 
     weights, statics = strip_statics((g_params, a_params, deca_params,
                                       fan_params, s3fd_params,
                                       truncation_latent))
-    place_batch = None
-    if mesh is not None:
-        from ..parallel.mesh import replicate, shard_batch
-        weights = replicate(mesh, weights)
-        place_batch = lambda t: shard_batch(mesh, t)
 
     if reuse_landmarks:
         @jax.jit
@@ -172,6 +168,39 @@ def make_reenact_fn(g_params: Params, a_params: Params, deca_params: Params,
                 compute_dtype=compute_dtype,
                 fan_params=fan, s3fd_params=sfd,
                 return_target_params=return_target_params)
+
+    return _fn, weights
+
+
+def make_reenact_fn(g_params: Params, a_params: Params, deca_params: Params,
+                    spec: DirectionsSpec, *, truncation: float = 0.7,
+                    truncation_latent: Optional[jnp.ndarray] = None,
+                    num_layers_shift: int = 8, compute_dtype=jnp.float32,
+                    fan_params: Optional[Params] = None,
+                    s3fd_params: Optional[Params] = None, mesh=None,
+                    return_target_params: bool = False,
+                    reuse_landmarks: bool = False):
+    """Jitted reenactor: (source_code, params_source, angles_source,
+    target_imgs) → (reenacted, latents). ``fan_params`` enables the
+    reference's FAN-warp DECA alignment on the target frames;
+    ``s3fd_params`` upgrades it to the faithful SFD-crop→FAN chain.
+
+    ``mesh``: a `jax.sharding.Mesh` — the frozen weights are replicated
+    over it and every target-frame batch is sharded on axis 0 (frame data
+    parallelism; the frame batch must divide the mesh)."""
+    _fn, weights = make_reenact_program(
+        g_params, a_params, deca_params, spec, truncation=truncation,
+        truncation_latent=truncation_latent,
+        num_layers_shift=num_layers_shift, compute_dtype=compute_dtype,
+        fan_params=fan_params, s3fd_params=s3fd_params,
+        return_target_params=return_target_params,
+        reuse_landmarks=reuse_landmarks)
+
+    place_batch = None
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_batch
+        weights = replicate(mesh, weights)
+        place_batch = lambda t: shard_batch(mesh, t)
 
     def fn(source_code, params_source, angles_source, target_imgs, *extra):
         if place_batch is not None:
