@@ -14,10 +14,15 @@ Bundle layout (a directory):
 - ``reenact.jaxexport`` — the serialized `jax.export.Exported` program
   (StableHLO + calling convention; carries jax.export's cross-version
   compatibility guarantees).
-- ``weights.pkl`` — the array-only weights pytree (numpy), passed back to
-  the program at call time (weights ride as arguments, not constants, so
-  the artifact stays small and the weights stay swappable — e.g. a PTI
-  fine-tuned generator per source identity reuses the same program).
+- ``weights.npz`` + ``weights_tree.json`` — the array-only weights
+  pytree as a plain npz archive plus a JSON structure manifest, passed
+  back to the program at call time (weights ride as arguments, not
+  constants, so the artifact stays small and the weights stay swappable
+  — e.g. a PTI fine-tuned generator per source identity reuses the same
+  program). Deliberately NOT pickle: bundles are designed to ship
+  between hosts, and every part of the artifact must be safe to load
+  from disk (the StableHLO program already is; npz+JSON keeps the
+  weights side equally inert).
 - ``meta.json`` — format version, frame batch, shapes, dtypes, platforms.
 
 The exported program has a FIXED frame batch (XLA static shapes);
@@ -30,7 +35,6 @@ from __future__ import annotations
 
 import json
 import os
-import pickle
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -44,10 +48,40 @@ from .pipeline.source_setup import CROP_SIZE
 
 Params = Dict[str, Any]
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v1 stored weights as pickle; v2 is npz + JSON manifest
 PROGRAM_FILE = "reenact.jaxexport"
-WEIGHTS_FILE = "weights.pkl"
+WEIGHTS_FILE = "weights.npz"
+WEIGHTS_TREE_FILE = "weights_tree.json"
 META_FILE = "meta.json"
+
+
+def _encode_tree(x, leaves: list):
+    """Pytree → JSON-safe structure manifest; arrays appended to `leaves`.
+
+    The weights pytree is array-only (``strip_statics`` output): nested
+    dicts/tuples/lists/None over numpy-able leaves."""
+    if x is None:
+        return {"t": "none"}
+    if isinstance(x, dict):
+        return {"t": "dict", "items": {k: _encode_tree(v, leaves)
+                                       for k, v in x.items()}}
+    if isinstance(x, (list, tuple)):
+        return {"t": "tuple" if isinstance(x, tuple) else "list",
+                "items": [_encode_tree(v, leaves) for v in x]}
+    leaves.append(np.asarray(x))
+    return {"t": "leaf", "i": len(leaves) - 1}
+
+
+def _decode_tree(node, leaves):
+    t = node["t"]
+    if t == "none":
+        return None
+    if t == "dict":
+        return {k: _decode_tree(v, leaves) for k, v in node["items"].items()}
+    if t in ("tuple", "list"):
+        seq = [_decode_tree(v, leaves) for v in node["items"]]
+        return tuple(seq) if t == "tuple" else seq
+    return leaves[node["i"]]
 
 # DECA coefficient slots as returned by `calculate_shapemodel`
 # (`models/deca/deca.py::PARAM_SPLIT`; pose 6 = 3 global + 3 jaw)
@@ -139,9 +173,12 @@ def save_reenact_bundle(path: str, exported, weights, meta: Dict[str, Any]
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, PROGRAM_FILE), "wb") as f:
         f.write(exported.serialize())
-    host_weights = jax.tree_util.tree_map(np.asarray, weights)
-    with open(os.path.join(path, WEIGHTS_FILE), "wb") as f:
-        pickle.dump(host_weights, f, protocol=pickle.HIGHEST_PROTOCOL)
+    leaves: list = []
+    manifest = _encode_tree(weights, leaves)
+    np.savez(os.path.join(path, WEIGHTS_FILE),
+             **{f"w{i}": a for i, a in enumerate(leaves)})
+    with open(os.path.join(path, WEIGHTS_TREE_FILE), "w") as f:
+        json.dump(manifest, f)
     with open(os.path.join(path, META_FILE), "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
 
@@ -191,15 +228,16 @@ class ReenactServingProgram:
                     [c] + [c[-1:]] * (fb - n), axis=0) for c in chunk]
             res = self._call(self.weights, source_code, params_source,
                              angles_source, *chunk)
-            res = tuple(r[:n] for r in res)
-            if outs is None:
-                outs = [[r] for r in res]
-            else:
-                for acc, r in zip(outs, res):
-                    acc.append(r)
+            # pytree ops: outputs may include dict leaves (params_target
+            # when the bundle was exported with return_target_params)
+            res = jax.tree_util.tree_map(lambda x: x[:n], res)
+            outs = [res] if outs is None else outs + [res]
         if outs is None:
             raise ValueError("empty target batch")
-        return tuple(jnp.concatenate(acc, axis=0) for acc in outs)
+        if len(outs) == 1:
+            return outs[0]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
 
 def load_reenact_bundle(path: str) -> ReenactServingProgram:
@@ -214,14 +252,22 @@ def load_reenact_bundle(path: str) -> ReenactServingProgram:
     with open(os.path.join(path, META_FILE)) as f:
         meta = json.load(f)
     if meta.get("format_version") != FORMAT_VERSION:
+        extra = (" (v1 stored weights as pickle, which is unsafe to load "
+                 "from untrusted sources; re-export the bundle)"
+                 if meta.get("format_version") == 1 else "")
         raise ValueError(
             f"unsupported bundle format_version {meta.get('format_version')} "
-            f"(this build reads {FORMAT_VERSION})")
+            f"(this build reads {FORMAT_VERSION}){extra}")
     with open(os.path.join(path, PROGRAM_FILE), "rb") as f:
         exported = jexport.deserialize(bytearray(f.read()))
-    with open(os.path.join(path, WEIGHTS_FILE), "rb") as f:
-        weights = pickle.load(f)
-    backend = jax.default_backend()
+    with np.load(os.path.join(path, WEIGHTS_FILE)) as z:
+        leaves = [z[f"w{i}"] for i in range(len(z.files))]
+    with open(os.path.join(path, WEIGHTS_TREE_FILE)) as f:
+        weights = _decode_tree(json.load(f), leaves)
+    # canonicalized backend name (`jax.default_backend()` says 'gpu' where
+    # export platforms say 'cuda'/'rocm'; default_export_platform
+    # canonicalizes) — jax.export's own call-time check is the backstop
+    backend = jexport.default_export_platform()
     if backend not in meta["platforms"]:
         raise ValueError(
             f"bundle was exported for platforms {meta['platforms']} but the "

@@ -153,6 +153,80 @@ def test_with_generator_swap(zoo, source, bundle_dir):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_return_target_params_bundle(zoo, source, tmp_path):
+    """Bundles exported with return_target_params=True emit a dict output
+    (params_target) — chunk slicing/concat must be pytree-aware (a plain
+    `r[:n]` on the dict raised KeyError before the fix)."""
+    g, a, deca, trunc, spec = zoo
+    code, params, angles = source
+    exported, weights, meta = export_reenact(
+        g, a, deca, spec, frame_batch=FRAME_BATCH, truncation=0.7,
+        truncation_latent=trunc, target_size=SIZE,
+        return_target_params=True)
+    path = str(tmp_path / "bundle_tp")
+    save_reenact_bundle(path, exported, weights, meta)
+    prog = load_reenact_bundle(path)
+    assert prog.meta["return_target_params"] is True
+
+    # T=6 with frame_batch 4 exercises both chunking AND padding
+    tgts = _targets(6, seed=5)
+    img, lat, params_t, angles_t = prog(code, params, angles, tgts)
+    assert img.shape[0] == 6 and lat.shape[0] == 6
+    assert set(params_t) == {"pose", "alpha_shp", "alpha_exp", "cam"}
+    assert params_t["alpha_exp"].shape == (6, 50)
+    assert angles_t.shape == (6, 3)
+
+    live = make_reenact_fn(g, a, deca, spec, truncation=0.7,
+                           truncation_latent=trunc,
+                           return_target_params=True)
+    w_img, w_lat, w_pt, w_ang = live(code, params, angles, tgts)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(w_img),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(params_t["alpha_exp"]),
+                               np.asarray(w_pt["alpha_exp"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(angles_t), np.asarray(w_ang),
+                               atol=1e-4)
+
+
+def test_reuse_landmarks_bundle(zoo, source, tmp_path):
+    """reuse_landmarks bundles take (targets, lms, ok) and must chunk/pad
+    all three together."""
+    g, a, deca, trunc, spec = zoo
+    code, params, angles = source
+    exported, weights, meta = export_reenact(
+        g, a, deca, spec, frame_batch=FRAME_BATCH, truncation=0.7,
+        truncation_latent=trunc, target_size=SIZE, reuse_landmarks=True)
+    path = str(tmp_path / "bundle_rl")
+    save_reenact_bundle(path, exported, weights, meta)
+    prog = load_reenact_bundle(path)
+    assert prog.meta["reuse_landmarks"] is True
+
+    t = 5
+    tgts = _targets(t, seed=6)
+    lms = jax.random.uniform(jax.random.PRNGKey(7), (t, 68, 2),
+                             minval=10.0, maxval=54.0)
+    ok = jnp.ones((t,), bool)
+    img, lat = prog(code, params, angles, tgts, lms, ok)
+    assert img.shape[0] == t and lat.shape[0] == t
+
+    live = make_reenact_fn(g, a, deca, spec, truncation=0.7,
+                           truncation_latent=trunc, reuse_landmarks=True)
+    w_img, _ = live(code, params, angles, tgts, lms, ok)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(w_img),
+                               atol=1e-4)
+
+
+def test_weights_stored_without_pickle(bundle_dir):
+    """The bundle must contain no pickle payloads (npz with allow_pickle
+    default False + JSON manifest only)."""
+    from stylegan_directions_face_reenactment_tpu.serving import (
+        WEIGHTS_FILE, WEIGHTS_TREE_FILE)
+    assert not os.path.exists(os.path.join(bundle_dir, "weights.pkl"))
+    with np.load(os.path.join(bundle_dir, WEIGHTS_FILE)) as z:
+        assert len(z.files) > 0   # loads with allow_pickle=False
+    json.loads(open(os.path.join(bundle_dir, WEIGHTS_TREE_FILE)).read())
+
+
 @pytest.mark.slow
 def test_export_serving_cli_random_init(tmp_path):
     """CLI end-to-end at the production 256 crop with the faithful SFD→FAN
