@@ -9,11 +9,13 @@ One JSON line, four numbers:
     batched over frames as ONE jitted program (the reference loops per
     frame, `run_inference.py:170-195`).
   * "full_path_fps" — apples-to-apples with the reference's whole loop:
-    adds SFD face detection + FAN landmarks + FFHQ crop
-    (`utils_inference.py:61-82`) in front of the reenactment program. The
-    crop runs ON DEVICE (fused PIL-compatible bicubic, ≤1 LSB vs the host
-    path, `models/face/cropping.py::ffhq_crop_device`) so raw frames
-    upload once and nothing round-trips to the host; only out-of-frame
+    SFD face detection + FAN landmarks + FFHQ crop
+    (`utils_inference.py:61-82`) + the reenactment program, fused into
+    ONE device dispatch per chunk
+    (`pipeline/reenactment.py::reenact_raw_batch`, the CLI's default
+    --device_crop path). The crop runs on device (fused PIL-compatible
+    bicubic, ≤1 LSB vs the host path) so raw frames upload once as uint8
+    and nothing round-trips to the host mid-chunk; only out-of-frame
     boxes would take the host pad+fade fallback (none in this stream —
     real faces are overwhelmingly in-frame).
   * "full_path_reuse_lms_fps" — the single-detection variant
@@ -28,6 +30,10 @@ One JSON line, four numbers:
     frame, no detector pass inside the DECA alignment).
   * "resize_fps" — the fast path (bilinear resize instead of the FAN-warp
     DECA alignment; `--deca_alignment resize`).
+  * "e2e_video_fps" — TRUE video→video: libav mp4 decode → fused reenact
+    (uint8 uploads AND downloads) → [source|target|reenacted] grid
+    assembly → libav mp4 encode, host work pipelined 3 chunks deep like
+    the CLI. Matches `run_inference.py:157-199` end to end, including IO.
 
 vs_baseline is relative to the 500 fps/chip north-star target (BASELINE.md;
 the reference publishes no numbers).
@@ -166,15 +172,41 @@ def main():
 
     # ---- full per-frame path: SFD detect + FAN landmarks + FFHQ crop +
     # FAN-aligned DECA + Δp + A + synthesis (reference loop
-    # `run_inference.py:170-195`) -----------------------------------------
+    # `run_inference.py:170-195`) — ONE fused device program per chunk
+    # (`pipeline/reenactment.py::reenact_raw_batch`, the CLI's default
+    # --device_crop path): no host sync between detection and synthesis --
+    from stylegan_directions_face_reenactment_tpu.pipeline.reenactment import (
+        make_fused_reenact_fn)
+
     frames_u8 = np.asarray(
         jax.random.randint(jax.random.PRNGKey(3), (batch, 480, 480, 3),
                            0, 256, jnp.int32), dtype=np.uint8)
     frames_dev = jnp.asarray(frames_u8)  # upload u8; convert on device
-    # synthetic landmarks for a typical fully-in-frame face so the host
-    # crop always runs its common path (random-weight detectors rarely
-    # clear the 0.99 confidence gate; real faces are mostly in-frame —
-    # out-of-frame crops take the reference's pad+blur+fade slow path)
+
+    fused_fan = make_fused_reenact_fn(
+        g, a, deca, spec, sfd, fan, truncation=0.7, truncation_latent=trunc,
+        compute_dtype=compute_dtype, fan_params=fan, s3fd_params=sfd)
+
+    def full_path():
+        return fused_fan(source_code, params_source, angles_source,
+                         frames_dev)[0]
+
+    dt_full = _time_loop(full_path, iters=12)
+
+    # ---- single-detection variant (--reuse_landmarks): the fused
+    # program's detection landmarks, mapped into crop coords, feed the
+    # DECA bbox directly — no second SFD+FAN pass inside the alignment ---
+    fused_reuse = make_fused_reenact_fn(
+        g, a, deca, spec, sfd, fan, truncation=0.7, truncation_latent=trunc,
+        compute_dtype=compute_dtype, reuse_landmarks=True)
+
+    def full_path_reuse():
+        return fused_reuse(source_code, params_source, angles_source,
+                           frames_dev)[0]
+
+    dt_full_reuse = _time_loop(full_path_reuse, iters=12)
+
+    # ---- host-crop comparison path (--no-device_crop CLI) ---------------
     lm_rng = np.random.RandomState(0)
     fake_lms = (lm_rng.rand(batch, 68, 2) * 100 + 190).astype(np.float32)
 
@@ -184,22 +216,7 @@ def main():
     det_w, det_statics = strip_statics((sfd, fan))
 
     from stylegan_directions_face_reenactment_tpu.models.face.cropping import (
-        crop_using_landmarks_batch, ffhq_crop_device)
-
-    fake_lms_dev = jnp.asarray(fake_lms)
-
-    @jax.jit
-    def _prep_dev(det_w, frames, lms):
-        """Device preprocess: SFD+FAN (bf16 trunks, f32 box/peak decode)
-        + fused on-device FFHQ crop. Production uses the detected
-        landmarks for the crop; random-init detectors emit garbage, so the
-        crop runs on synthetic in-frame landmarks — identical compute."""
-        sfd_p, fan_p = merge_statics(det_w, det_statics)
-        imgs = frames.astype(jnp.float32)
-        pts, valid, _ = estimate_landmarks(sfd_p, fan_p, imgs,
-                                           compute_dtype=compute_dtype)
-        crops, in_frame = ffhq_crop_device(imgs, lms)
-        return crops / 127.5 - 1.0, valid, in_frame
+        crop_using_landmarks_batch)
 
     @jax.jit
     def _el(det_w, imgs_u8):
@@ -212,45 +229,6 @@ def main():
         # uint8 crops upload 4x fewer bytes over the (tunneled) host link;
         # the [-1,1] conversion runs on device
         return u8.astype(jnp.float32) / 127.5 - 1.0
-
-    def full_path():
-        crops_gan, valid, in_frame = _prep_dev(det_w, frames_dev,
-                                               fake_lms_dev)
-        np.asarray(in_frame)   # the CLI's host-fallback check (16 bools)
-        return fn_fan(source_code, params_source, angles_source,
-                      crops_gan)[0]
-
-    dt_full = _time_loop(full_path, iters=12)
-
-    # ---- single-detection variant (--reuse_landmarks): the prep
-    # landmarks, mapped into crop coords, feed the DECA bbox directly —
-    # no second SFD+FAN pass inside the alignment ------------------------
-    from stylegan_directions_face_reenactment_tpu.models.face.cropping import (
-        landmarks_in_crop)
-
-    fn_reuse = make_reenact_fn(g, a, deca, spec, truncation=0.7,
-                               truncation_latent=trunc,
-                               compute_dtype=compute_dtype,
-                               reuse_landmarks=True)
-
-    @jax.jit
-    def _prep_reuse(det_w, frames, lms):
-        sfd_p, fan_p = merge_statics(det_w, det_statics)
-        imgs = frames.astype(jnp.float32)
-        pts, valid, _ = estimate_landmarks(sfd_p, fan_p, imgs,
-                                           compute_dtype=compute_dtype)
-        crops, in_frame = ffhq_crop_device(imgs, lms)
-        lms_crop, _ = landmarks_in_crop(lms)
-        return crops / 127.5 - 1.0, valid, in_frame, lms_crop
-
-    def full_path_reuse():
-        crops_gan, valid, in_frame, lms_c = _prep_reuse(det_w, frames_dev,
-                                                        fake_lms_dev)
-        np.asarray(in_frame)
-        return fn_reuse(source_code, params_source, angles_source,
-                        crops_gan, lms_c, valid)[0]
-
-    dt_full_reuse = _time_loop(full_path_reuse, iters=12)
 
     def host_stage():
         """The --no-device_crop CLI `prep`: device detect+landmarks, host
@@ -284,6 +262,69 @@ def main():
         return (time.perf_counter() - t0) / n_iters
 
     dt_full_host = full_path_host_stream()
+
+    # ---- true video→video: libav decode → fused reenact (uint8 both
+    # ways) → grid assembly → libav encode, pipelined like the CLI -------
+    def measure_e2e_video(n_frames=48):
+        import tempfile
+        from concurrent.futures import ThreadPoolExecutor
+
+        from stylegan_directions_face_reenactment_tpu.native.imgproc import (
+            extract_frames, generate_video)
+
+        fused_u8 = make_fused_reenact_fn(
+            g, a, deca, spec, sfd, fan, truncation=0.7,
+            truncation_latent=trunc, compute_dtype=compute_dtype,
+            fan_params=fan, s3fd_params=sfd, output_u8=True)
+        rng = np.random.RandomState(5)
+        vid = [rng.randint(0, 256, (480, 480, 3)).astype(np.uint8)
+               for _ in range(n_frames)]
+        src_cell = rng.randint(0, 256, (256, 256, 3)).astype(np.uint8)
+
+        def upload(chunk):
+            arr = np.stack(chunk)
+            pad = batch - len(chunk)
+            if pad:
+                arr = np.concatenate([arr] + [arr[-1:]] * pad)
+            return jax.device_put(arr)
+
+        # compile outside the timed window (the CLI reuses a warm cache)
+        jax.block_until_ready(fused_u8(source_code, params_source,
+                                       angles_source, upload(vid[:batch]))[0])
+
+        with tempfile.TemporaryDirectory() as td:
+            src_mp4 = os.path.join(td, "src.mp4")
+            generate_video(vid, src_mp4)
+            t0 = time.perf_counter()
+            frames = extract_frames(src_mp4)[:n_frames]
+            chunks = [frames[s:s + batch]
+                      for s in range(0, len(frames), batch)]
+            pool = ThreadPoolExecutor(2)
+            futs = {i: pool.submit(upload, chunks[i])
+                    for i in range(min(3, len(chunks)))}
+            grids = []
+            for ci, chunk in enumerate(chunks):
+                dev = futs.pop(ci).result()
+                if ci + 3 < len(chunks):
+                    futs[ci + 3] = pool.submit(upload, chunks[ci + 3])
+                reen_u8, _lat, crops_u8, ok, in_frame, _pts = fused_u8(
+                    source_code, params_source, angles_source, dev)
+                n = len(chunk)
+                reen_np = np.asarray(reen_u8)[:n]
+                crops_np = np.asarray(crops_u8)[:n]
+                np.asarray(ok), np.asarray(in_frame)  # CLI fallback check
+                for j in range(n):
+                    grids.append(np.concatenate(
+                        [src_cell, crops_np[j], reen_np[j]], axis=1))
+            generate_video(grids, os.path.join(td, "out.mp4"))
+            dt = time.perf_counter() - t0
+            pool.shutdown(wait=False)
+        return len(frames) / dt
+
+    try:
+        e2e_video_fps = measure_e2e_video()
+    except Exception:
+        e2e_video_fps = None  # native libav runtime unavailable
 
     # ---- paired training step (informational; steady-state GT-coefficient
     # cache, `--cache_gt_shape` default): batch 12 @256, SFD-faithful
@@ -344,6 +385,8 @@ def main():
         "full_path_reuse_lms_fps": round(batch / dt_full_reuse, 1),
         "full_path_host_crop_fps": round(batch / dt_full_host, 1),
     }
+    if e2e_video_fps is not None:
+        result["e2e_video_fps"] = round(e2e_video_fps, 1)
     if train_imgs_per_s is not None:
         result["train_paired_imgs_per_s"] = round(train_imgs_per_s, 1)
     print(json.dumps(result))

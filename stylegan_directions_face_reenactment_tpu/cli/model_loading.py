@@ -77,6 +77,7 @@ def load_direction_matrix(dataset_type: str = "voxceleb",
 
 
 def load_deca(path: Optional[str] = None, flame_path: Optional[str] = None,
+              flame_lmk_path: Optional[str] = None,
               random_init: bool = False,
               rng: Optional[jax.Array] = None) -> Params:
     if random_init:
@@ -86,7 +87,7 @@ def load_deca(path: Optional[str] = None, flame_path: Optional[str] = None,
     from ..weights.torch_convert import convert_deca
     from ..weights.flame_loader import load_flame_params
     flame = load_flame_params(flame_path or AUX_MODELS["flame"],
-                              AUX_MODELS["flame_landmarks"])
+                              flame_lmk_path or AUX_MODELS["flame_landmarks"])
     ckpt = _torch_load(path or AUX_MODELS["deca"])
     return convert_deca(ckpt, flame)
 

@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "with real checkpoints this harness then QUANTIFIES "
                         "the deviation — compare the report against a "
                         "default-pipeline run on the same inputs")
+    p.add_argument("--batch0_only", action="store_true",
+                   help="replicate the reference's quirky eval semantics "
+                        "bit-faithfully: pose/expression errors read only "
+                        "index [0] of each batch (`utils_train.py:695-708`) "
+                        "while CSIM still runs on the whole batch (`:729`). "
+                        "Use when gating against metrics produced by the "
+                        "reference's own evaluation loop")
     p.add_argument("--reference_metrics", default=None,
                    help="JSON file with the PyTorch reference's "
                         "{csim, pose, exp} on the same inputs; enables the "
@@ -219,8 +226,16 @@ def main(argv=None):
         # the in-graph DECA re-detections (valid, the -180 sentinel)
         keep = np.asarray(ok) & np.asarray(valid)[:len(chunk)]
         csims.append(np.asarray(c)[:len(chunk)][keep])
-        poses.append(np.asarray(p)[:len(chunk)][keep])
-        exps.append(np.asarray(e)[:len(chunk)][keep])
+        if args.batch0_only:
+            # reference eval quirk: pose/exp from batch index [0] only
+            # (`utils_train.py:695-708`); CSIM stays whole-batch (`:729`)
+            b0 = keep.copy()
+            b0[1:] = False
+            poses.append(np.asarray(p)[:len(chunk)][b0])
+            exps.append(np.asarray(e)[:len(chunk)][b0])
+        else:
+            poses.append(np.asarray(p)[:len(chunk)][keep])
+            exps.append(np.asarray(e)[:len(chunk)][keep])
         used += int(keep.sum())
         dropped += len(chunk) - int(keep.sum())
         print(f"{min(s + bi, len(frames))}/{len(frames)} frames")
@@ -230,6 +245,9 @@ def main(argv=None):
     csims = np.concatenate(csims)
     poses = np.concatenate(poses)
     exps = np.concatenate(exps)
+    if poses.size == 0:
+        raise RuntimeError("batch0_only: no chunk had a detected face at "
+                           "batch index [0]")
     metrics = {
         "csim": float(csims.mean()),
         "pose_error_deg": float(poses.mean()),
@@ -247,6 +265,7 @@ def main(argv=None):
         "optimize_generator": bool(args.optimize_generator),
         "deca_alignment": args.deca_alignment,
         "reuse_landmarks": bool(args.reuse_landmarks),
+        "batch0_only": bool(args.batch0_only),
         "checkpoints": "random_init" if args.random_init else "real",
         "verified": not args.random_init,
         "gate": None,

@@ -85,6 +85,88 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _run_targets_fused(args, resized, reenact_fused, source_img,
+                       source_code, params_source, angles_source,
+                       make_fallback, generate_grid_image, mesh=None):
+    """The fused target loop: raw (detect-width) frames upload as uint8,
+    ONE device program per chunk (detect → crop → reenact,
+    `pipeline/reenactment.py::reenact_raw_batch`), outputs download as
+    uint8. Host uploads are prefetched 3 chunks deep (the unfused loop
+    overlapped exactly one). Frames whose FFHQ box leaves the frame are
+    re-run through the host-exact pad+fade crop + the unfused program
+    (rare: real faces are overwhelmingly in-frame)."""
+    import jax
+
+    bi = args.frame_batch
+    chunks = [resized[s:s + bi] for s in range(0, len(resized), bi)]
+
+    def upload(chunk):
+        arr = np.stack(chunk).astype(np.uint8)
+        pad = bi - len(chunk)
+        if pad:
+            arr = np.concatenate([arr] + [arr[-1:]] * pad)
+        # with a mesh the program shards the batch itself
+        return arr if mesh is not None else jax.device_put(arr)
+
+    from concurrent.futures import ThreadPoolExecutor
+    depth = 3
+    pool = ThreadPoolExecutor(2)
+    futs = {i: pool.submit(upload, chunks[i])
+            for i in range(min(depth, len(chunks)))}
+
+    grids = []
+    idx = 0
+    n_no_face = 0
+    fallback = None
+    for ci, chunk in enumerate(chunks):
+        dev = futs.pop(ci).result()
+        nxt = ci + depth
+        if nxt < len(chunks):
+            futs[nxt] = pool.submit(upload, chunks[nxt])
+        reen_u8, _lat, crops_u8, ok, in_frame, pts = reenact_fused(
+            source_code, params_source, angles_source, dev)
+        n = len(chunk)
+        reen_u8 = np.array(reen_u8)[:n]
+        crops_u8 = np.array(crops_u8)[:n]
+        ok = np.asarray(ok)[:n]
+        in_frame = np.asarray(in_frame)[:n]
+        n_no_face += int((~ok).sum())
+        bad = np.nonzero(ok & ~in_frame)[0]
+        if bad.size:
+            if fallback is None:
+                fallback = make_fallback()
+            pts_np = np.asarray(pts)[:n]
+            crops_f, reen_f, ok_f = fallback([chunk[i] for i in bad],
+                                             pts_np[bad])
+            for j, i in enumerate(bad):
+                if ok_f[j]:
+                    crops_u8[i] = crops_f[j]
+                    reen_u8[i] = reen_f[j]
+        for j in range(n):
+            if args.save_images:
+                from PIL import Image
+                Image.fromarray(reen_u8[j]).save(
+                    os.path.join(args.output_path, f"{idx:06d}.png"))
+            if args.save_grid or args.save_video:
+                grid = generate_grid_image(
+                    np.asarray(source_img),
+                    crops_u8[j:j + 1].astype(np.float32) / 127.5 - 1.0,
+                    reen_u8[j:j + 1].astype(np.float32) / 127.5 - 1.0)
+                if args.save_grid:
+                    gdir = os.path.join(args.output_path, "grids")
+                    os.makedirs(gdir, exist_ok=True)
+                    from PIL import Image
+                    Image.fromarray(grid).save(
+                        os.path.join(gdir, f"{idx:06d}.png"))
+                if args.save_video:
+                    grids.append(grid)
+            idx += 1
+    pool.shutdown(wait=False)
+    if n_no_face:
+        print(f"warning: no face detected in {n_no_face} target frame(s)")
+    return grids
+
+
 def _load_target_frames(path: str, stride: int):
     from ..native.imgproc import extract_frames
     from ..utils.common import get_image_files
@@ -171,6 +253,63 @@ def main(argv=None):
         mesh = make_mesh(args.n_devices)
         if args.frame_batch % args.n_devices:
             raise ValueError("--n_devices must divide --frame_batch")
+
+    # fused fast path (default): detect → crop → reenact as ONE device
+    # program per chunk, uint8 both ways, no host sync inside the chunk
+    use_fused = args.device_crop and not args.skip_preprocess
+    resized = None
+    if use_fused:
+        from ..pipeline.preprocess import DETECT_WIDTH, resize_width
+        dw = (DETECT_WIDTH if args.detect_width is None
+              else args.detect_width)
+        resized = ([resize_width(np.asarray(f), dw) for f in frames] if dw
+                   else [np.asarray(f) for f in frames])
+        if len({im.shape for im in resized}) != 1:
+            use_fused = False  # mixed frame shapes: bucketed unfused path
+    if use_fused:
+        from ..pipeline import make_fused_reenact_fn
+        reenact_fused = make_fused_reenact_fn(
+            g_src, a, deca, spec, sfd, fan, truncation=0.7,
+            truncation_latent=trunc, fan_params=fan_deca,
+            s3fd_params=sfd_deca, reuse_landmarks=args.reuse_landmarks,
+            output_u8=True, mesh=mesh)
+
+        def make_fallback():
+            # host-exact pad+blur+fade crop + the unfused program, for the
+            # rare out-of-frame boxes (always the faithful full alignment)
+            import jax.numpy as jnp
+            from ..models.face.cropping import crop_using_landmarks_batch
+            from ..pipeline.source_setup import pad_batch
+            reenact_host = make_reenact_fn(
+                g_src, a, deca, spec, truncation=0.7,
+                truncation_latent=trunc, fan_params=fan_deca,
+                s3fd_params=sfd_deca)
+
+            def fb(frames_list, lms):
+                crops, cok = crop_using_landmarks_batch(
+                    frames_list, list(lms), image_size=256)
+                gan = np.asarray(crops, np.float32) / 127.5 - 1.0
+                tgt = pad_batch(gan, args.frame_batch - len(frames_list))
+                reen = np.asarray(reenact_host(
+                    source_code, params_source, angles_source,
+                    jnp.asarray(tgt))[0])[:len(frames_list)]
+                reen_u8 = np.round(
+                    np.clip((reen + 1.0) * 127.5, 0, 255)).astype(np.uint8)
+                return np.asarray(crops, np.uint8), reen_u8, np.asarray(cok)
+
+            return fb
+
+        grids = _run_targets_fused(args, resized, reenact_fused, source_img,
+                                   source_code, params_source,
+                                   angles_source, make_fallback,
+                                   generate_grid_image, mesh=mesh)
+        if args.save_video and grids:
+            from ..native.imgproc import generate_video
+            generate_video(grids, os.path.join(args.output_path,
+                                               "generated_video.mp4"))
+        print("done")
+        return
+
     reenact = make_reenact_fn(g_src, a, deca, spec, truncation=0.7,
                               truncation_latent=trunc, fan_params=fan_deca,
                               s3fd_params=sfd_deca, mesh=mesh,

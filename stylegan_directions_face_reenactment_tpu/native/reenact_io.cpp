@@ -73,6 +73,14 @@ void* rio_video_open(const char* path) {
     AVStream* st = v->fmt->streams[v->stream_index];
     v->dec = avcodec_alloc_context3(codec);
     avcodec_parameters_to_context(v->dec, st->codecpar);
+    // frame-threaded decode; hardware_concurrency reports 1 in some
+    // containers, so keep a floor — idle threads cost ~nothing, missing
+    // ones serialize the codec
+    {
+        unsigned hc = std::thread::hardware_concurrency();
+        v->dec->thread_count = hc > 8 ? (int)hc : 8;
+    }
+    v->dec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
     if (avcodec_open2(v->dec, codec, nullptr) < 0) {
         avcodec_free_context(&v->dec);
         avformat_close_input(&v->fmt);
@@ -207,8 +215,18 @@ void* rio_writer_open(const char* path, int width, int height, int fps) {
     w->enc->height = height;
     w->enc->pix_fmt = AV_PIX_FMT_YUV420P;
     w->enc->time_base = AVRational{1, fps};
+    // frame-threaded encode: x264 gets threads=1 through libav unless the
+    // context asks (thread_count=0 "auto" also resolves to 1 in
+    // containers whose hardware_concurrency reports 1) — single-threaded
+    // encode was the wall-clock floor of the video→video path
+    // (3.2 s per 48 grid frames; threaded veryfast: 1.2 s)
+    {
+        unsigned hc = std::thread::hardware_concurrency();
+        w->enc->thread_count = hc > 8 ? (int)hc : 8;
+    }
+    w->enc->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
     if (codec->id == AV_CODEC_ID_H264) {
-        av_opt_set(w->enc->priv_data, "preset", "fast", 0);
+        av_opt_set(w->enc->priv_data, "preset", "veryfast", 0);
         av_opt_set(w->enc->priv_data, "crf", "18", 0);
         // no B-frames: this libav build's h264 decoder drops the final
         // reordered frame of a B-frame stream at EOF

@@ -3,8 +3,9 @@
 from .synthesis import get_shifted_latent_code, generate_image
 from .inversion import invert_image
 from .pti import optimize_g, split_tunable, TUNED_CONV_RANGE
-from .reenactment import (reenact_batch, make_reenact_fn,
-                          make_reenact_program, source_shape)
+from .reenactment import (reenact_batch, reenact_raw_batch, make_reenact_fn,
+                          make_fused_reenact_fn, make_reenact_program,
+                          source_shape)
 from .editing import sweep_direction, one_hot_shift
 from .preprocess import (preprocess_images, resize_width, to_gan_range,
                          DETECT_WIDTH)

@@ -172,6 +172,125 @@ def make_reenact_program(g_params: Params, a_params: Params,
     return _fn, weights
 
 
+def reenact_raw_batch(g_params: Params, a_params: Params, deca_params: Params,
+                      spec: DirectionsSpec, sfd_prep: Params, fan_prep: Params,
+                      source_code: jnp.ndarray,
+                      params_source: Dict[str, jnp.ndarray],
+                      angles_source: jnp.ndarray,
+                      raw_frames: jnp.ndarray, *,
+                      crop_size: int = 256,
+                      truncation: float = 0.7,
+                      truncation_latent: Optional[jnp.ndarray] = None,
+                      num_layers_shift: int = 8,
+                      compute_dtype=jnp.float32,
+                      fan_params: Optional[Params] = None,
+                      s3fd_params: Optional[Params] = None,
+                      reuse_landmarks: bool = False,
+                      output_u8: bool = False):
+    """The WHOLE per-frame path as one program: raw frames in, reenacted
+    faces out. Fuses the preprocessing stage (SFD detect → FAN landmarks →
+    FFHQ crop, `utils_inference.py:61-82`) with the reenactment program
+    (`run_inference.py:170-195`) so a video chunk is ONE device dispatch
+    with no host round-trip between detection and synthesis (the unfused
+    CLI path synced a 16-bool in-frame mask to the host between the two
+    programs).
+
+    raw_frames: (T, H, W, 3) uint8/float RGB at the detection resolution
+    (the host only rescales to the detect width and uploads uint8).
+
+    Returns (reenacted (T, s, s, 3), latents, crops_u8 (T, crop, crop, 3)
+    uint8, ok (T,), in_frame (T,), landmarks (T, 68, 2)). ``in_frame``
+    is False where the FFHQ box leaves the frame — those crops are
+    APPROXIMATE (edge-clamped resample instead of the reference's
+    reflect-pad+blur+fade) and the caller re-runs them through the host
+    path. ``output_u8``: return the reenacted images as uint8 in [0, 255]
+    (4× smaller host downloads over thin links; saving to disk quantizes
+    identically).
+    """
+    from ..models.face.cropping import ffhq_crop_device, landmarks_in_crop
+    from ..models.face.landmarks import estimate_landmarks
+
+    imgs = raw_frames.astype(jnp.float32)
+    align_dtype = None if compute_dtype == jnp.float32 else compute_dtype
+    pts, ok, _ = estimate_landmarks(sfd_prep, fan_prep, imgs,
+                                    compute_dtype=align_dtype)
+    crops, in_frame = ffhq_crop_device(imgs, pts, image_size=crop_size)
+    crops_gan = crops / 127.5 - 1.0
+    kw = dict(truncation=truncation, truncation_latent=truncation_latent,
+              num_layers_shift=num_layers_shift, compute_dtype=compute_dtype)
+    if reuse_landmarks:
+        lms_crop, _ = landmarks_in_crop(pts, image_size=crop_size)
+        reenacted, latents = reenact_batch(
+            g_params, a_params, deca_params, spec, source_code,
+            params_source, angles_source, crops_gan,
+            target_lms=lms_crop, target_ok=ok, **kw)
+    else:
+        reenacted, latents = reenact_batch(
+            g_params, a_params, deca_params, spec, source_code,
+            params_source, angles_source, crops_gan,
+            fan_params=fan_params, s3fd_params=s3fd_params, **kw)
+    crops_u8 = crops.astype(jnp.uint8)   # already integer-valued [0,255]
+    if output_u8:
+        # round-half-up, the same inter-pass quantization as the device
+        # crop (`cropping.py::q8`); the host float path truncates
+        # (`tensor_to_image`) — ≤1 intensity-unit deviation, documented
+        reenacted = jnp.floor(jnp.clip((reenacted + 1.0) * 127.5,
+                                       0.0, 255.0) + 0.5).astype(jnp.uint8)
+    return reenacted, latents, crops_u8, ok, in_frame, pts
+
+
+def make_fused_reenact_fn(g_params: Params, a_params: Params,
+                          deca_params: Params, spec: DirectionsSpec,
+                          sfd_prep: Params, fan_prep: Params, *,
+                          crop_size: int = 256,
+                          truncation: float = 0.7,
+                          truncation_latent: Optional[jnp.ndarray] = None,
+                          num_layers_shift: int = 8,
+                          compute_dtype=jnp.float32,
+                          fan_params: Optional[Params] = None,
+                          s3fd_params: Optional[Params] = None,
+                          reuse_landmarks: bool = False,
+                          output_u8: bool = False, mesh=None):
+    """Jitted fused pipeline: (source_code, params_source, angles_source,
+    raw_frames) → (reenacted, latents, crops_u8, ok, in_frame, landmarks).
+    See :func:`reenact_raw_batch`. ``mesh`` shards the raw-frame batch on
+    axis 0 (frame data parallelism) with the weights replicated."""
+    from ..train.steps import merge_statics, strip_statics
+
+    weights, statics = strip_statics(
+        (g_params, a_params, deca_params, fan_params, s3fd_params,
+         sfd_prep, fan_prep, truncation_latent))
+
+    @jax.jit
+    def _fn(weights, source_code, params_source, angles_source, raw_frames):
+        g, a, deca, fan, sfd, sp, fp, trunc = merge_statics(weights, statics)
+        return reenact_raw_batch(
+            g, a, deca, spec, sp, fp, source_code, params_source,
+            angles_source, raw_frames, crop_size=crop_size,
+            truncation=truncation, truncation_latent=trunc,
+            num_layers_shift=num_layers_shift, compute_dtype=compute_dtype,
+            fan_params=fan, s3fd_params=sfd,
+            reuse_landmarks=reuse_landmarks, output_u8=output_u8)
+
+    place_batch = None
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_batch
+        weights = replicate(mesh, weights)
+        place_batch = lambda t: shard_batch(mesh, t)
+
+    def fn(source_code, params_source, angles_source, raw_frames):
+        if place_batch is not None:
+            from ..parallel.mesh import replicate
+            raw_frames = place_batch(jnp.asarray(raw_frames))
+            source_code, params_source, angles_source = replicate(
+                mesh, (jnp.asarray(source_code), params_source,
+                       angles_source))
+        return _fn(weights, source_code, params_source, angles_source,
+                   raw_frames)
+
+    return fn
+
+
 def make_reenact_fn(g_params: Params, a_params: Params, deca_params: Params,
                     spec: DirectionsSpec, *, truncation: float = 0.7,
                     truncation_latent: Optional[jnp.ndarray] = None,

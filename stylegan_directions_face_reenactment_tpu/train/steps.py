@@ -261,6 +261,9 @@ def make_synthetic_step(models: FrozenModels, spec: DirectionsSpec,
 
         (loss, loss_dict), grads = jax.value_and_grad(
             loss_fn_t, has_aux=True)(trainable)
+        # gradient observability (the reference's wandb.watch,
+        # `libs/trainer.py:123-133`): global L2 norm of the A-matrix grads
+        loss_dict["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss_dict
@@ -361,6 +364,9 @@ def make_real_step(models: FrozenModels, spec: DirectionsSpec,
 
         (loss, loss_dict), grads = jax.value_and_grad(
             loss_fn_t, has_aux=True)(trainable)
+        # gradient observability (the reference's wandb.watch,
+        # `libs/trainer.py:123-133`): global L2 norm of the A-matrix grads
+        loss_dict["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss_dict
@@ -444,6 +450,9 @@ def make_paired_step(models: FrozenModels, spec: DirectionsSpec,
 
         (loss, loss_dict), grads = jax.value_and_grad(
             loss_fn_t, has_aux=True)(trainable)
+        # gradient observability (the reference's wandb.watch,
+        # `libs/trainer.py:123-133`): global L2 norm of the A-matrix grads
+        loss_dict["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, loss_dict

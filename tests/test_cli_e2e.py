@@ -98,6 +98,31 @@ def test_run_inference_self_reenactment_on_bundled_mp4(tmp_path):
     assert video.exists() and video.stat().st_size > 0
 
 
+def test_run_inference_full_preprocess_fused_path(tmp_path):
+    """run_inference WITHOUT --skip_preprocess: the fused
+    detect→crop→reenact device program (the default --device_crop path)
+    drives the target loop. Random-init detectors rarely clear the 0.99
+    confidence gate, so either a full success or the documented no-face
+    failure on the SOURCE is a correct outcome — a crash is not."""
+    if not MP4S:
+        pytest.skip("no bundled mp4")
+    from stylegan_directions_face_reenactment_tpu.cli.run_inference import main
+    out = tmp_path / "fused"
+    try:
+        main(["--source_path", PNG, "--target_path", MP4S[0],
+              "--output_path", str(out), "--random_init",
+              "--detect_width", "0", "--image_resolution", RES,
+              "--frame_batch", "2", "--video_stride", "60",
+              "--save_images", "--no-optimize_generator"])
+    except RuntimeError as e:
+        assert "no face detected" in str(e)
+    else:
+        frames = sorted(glob.glob(os.path.join(str(out),
+                                               "[0-9]" * 6 + ".png")))
+        assert frames
+        _finite_png(frames[0])
+
+
 def test_run_inference_cross_subject(tmp_path):
     """BASELINE config 3 (proxy): cross-subject — bundled png source driven
     by the bundled video's frames."""

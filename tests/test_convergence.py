@@ -1,0 +1,133 @@
+"""Training-convergence gates: the loss must actually DECREASE.
+
+The reference's only training QC is the loss curve trending down
+(`libs/utilities/utils_train.py:516-527`). Earlier rounds asserted
+finiteness and ΔA>0 only; these tests pin, per training method, that
+optimizing A through the deep chain (loss → FLAME → DECA ResNet-50 →
+StyleGAN2 → A) reduces the loss over steps on a tiny config — the
+difference between "the step runs" and "the training works". For the
+paired method the eval metrics (pose / expression error,
+`utils_train.py:695-732`) must also improve from step 0.
+"""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+from PIL import Image
+
+pytestmark = pytest.mark.slow
+
+from stylegan_directions_face_reenactment_tpu.configs.arguments import (
+    TrainingArguments)
+from stylegan_directions_face_reenactment_tpu.losses import init_lpips_alex
+from stylegan_directions_face_reenactment_tpu.models import (
+    init_generator, mean_latent, n_latent_for)
+from stylegan_directions_face_reenactment_tpu.models.deca import (
+    init_deca, synthetic_flame_params)
+from stylegan_directions_face_reenactment_tpu.models.irse import init_backbone
+from stylegan_directions_face_reenactment_tpu.train import (FrozenModels,
+                                                            Trainer)
+
+SIZE = 64
+
+
+@pytest.fixture(scope="module")
+def models():
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    g = init_generator(ks[0], size=SIZE)
+    deca = init_deca(ks[1], synthetic_flame_params(ks[2], n_verts=128,
+                                                   n_faces=200),
+                     with_detail=False)
+    return FrozenModels(g, deca, init_backbone(ks[3]),
+                        init_lpips_alex(ks[4]),
+                        mean_latent(g, ks[5], n_latent=32))
+
+
+def _make_voxceleb_tree(root, n_ids=1, n_videos=1, n_frames=4):
+    rng = np.random.RandomState(0)
+    n_lat = n_latent_for(SIZE)
+    for i in range(n_ids):
+        for v in range(n_videos):
+            base = os.path.join(root, f"id{i:05d}", f"video{v}")
+            fdir = os.path.join(base, "frames_cropped")
+            idir = os.path.join(base, "inversion", "frames")
+            cdir = os.path.join(base, "inversion", "latent_codes")
+            for d in (fdir, idir, cdir):
+                os.makedirs(d, exist_ok=True)
+            for f in range(n_frames):
+                img = (rng.rand(SIZE, SIZE, 3) * 255).astype(np.uint8)
+                Image.fromarray(img).save(os.path.join(fdir, f"{f:06d}.png"))
+                Image.fromarray(img).save(os.path.join(idir, f"{f:06d}.png"))
+                np.save(os.path.join(cdir, f"{f:06d}.npy"),
+                        rng.randn(n_lat, 512).astype(np.float32))
+
+
+def _losses_from_log(exp_dir):
+    lines = (exp_dir / "logs" / "train_log.jsonl").read_text().strip()
+    return [json.loads(l)["loss"] for l in lines.splitlines()]
+
+
+def _args(tmp_path, **kw):
+    base = dict(batch_size=2, image_resolution=SIZE, deca_image_size=SIZE,
+                experiment_path=str(tmp_path / "exp"), steps_per_log=1,
+                evaluation=False,
+                # higher-than-default lr so the downward trend dominates
+                # batch-to-batch noise inside a short test budget
+                lr=1e-3)
+    base.update(kw)
+    return TrainingArguments(**base)
+
+
+def _assert_decreased(losses, k=10, margin=0.98):
+    first, last = np.mean(losses[:k]), np.mean(losses[-k:])
+    assert last < first * margin, (
+        f"loss did not decrease: first-{k} mean {first:.3f} vs "
+        f"last-{k} mean {last:.3f} ({len(losses)} steps)")
+
+
+def test_synthetic_loss_decreases(tmp_path, models):
+    tr = Trainer(_args(tmp_path), models, log_fn=lambda s: None)
+    tr.train(jax.random.PRNGKey(0), n_steps=60)
+    _assert_decreased(_losses_from_log(tmp_path / "exp"))
+
+
+def test_real_loss_decreases(tmp_path, models):
+    data = tmp_path / "data"
+    _make_voxceleb_tree(str(data), n_frames=4)
+    args = _args(tmp_path, training_method="real",
+                 train_dataset_path=str(data))
+    tr = Trainer(args, models, log_fn=lambda s: None)
+    # 4 frames → 2 steps/epoch at batch 2
+    tr.train_real(jax.random.PRNGKey(0), n_epochs=30)
+    _assert_decreased(_losses_from_log(tmp_path / "exp"))
+
+
+def test_paired_loss_and_eval_improve(tmp_path, models):
+    """Paired: loss decreases AND the eval pose/expression error at the
+    final step beats step 0 (the reference's numeric QC,
+    `utils_train.py:735-883`)."""
+    data = tmp_path / "data"
+    _make_voxceleb_tree(str(data), n_frames=6)
+    args = _args(tmp_path, training_method="paired",
+                 train_dataset_path=str(data), test_dataset_path=str(data),
+                 test_batch_size=2, validation_samples=2, num_pairs_log=2)
+    tr = Trainer(args, models, log_fn=lambda s: None)
+
+    from stylegan_directions_face_reenactment_tpu.models import (
+        init_direction_matrix)
+    a0 = init_direction_matrix(jax.random.PRNGKey(3), 512, 15, w_plus=True,
+                               num_layers=8)
+    m0 = tr.evaluate(a0, step=0, save_figure=False)
+
+    # max_pairs=2 → 2 samples/video/epoch → 1 step/epoch at batch 2
+    args_resume = dict(rng=jax.random.PRNGKey(0), n_epochs=40)
+    a_final = tr.train_paired(**args_resume)
+    _assert_decreased(_losses_from_log(tmp_path / "exp"), k=8)
+
+    m1 = tr.evaluate(a_final, step=40, save_figure=False)
+    assert (m1["pose_error"] < m0["pose_error"]
+            or m1["expression_error"] < m0["expression_error"]), (
+        f"neither pose nor expression error improved: {m0} → {m1}")
