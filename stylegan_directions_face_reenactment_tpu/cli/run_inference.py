@@ -85,6 +85,18 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def effective_frame_batch(frame_batch: int, generator_size: int) -> int:
+    """Guard the measured XLA tiling pathology at 1024: batch 3-7 synthesis
+    compiles to a poor layout for the 1024 tail convolutions and is slower
+    in absolute ms than batch 8 (PERF.md FFHQ-1024 table: batch 4 = 26.9
+    fps vs batch 8 = 128.6). Chunks shorter than the batch are padded
+    anyway, so rounding the batch up to 8 never changes the delivered
+    frames — only the padding."""
+    if generator_size >= 1024 and 2 < frame_batch < 8:
+        return 8
+    return frame_batch
+
+
 def _run_targets_fused(args, resized, reenact_fused, source_img,
                        source_code, params_source, angles_source,
                        make_fallback, generate_grid_image, mesh=None):
@@ -247,6 +259,12 @@ def main(argv=None):
     # --- targets, batched -------------------------------------------------
     frames = _load_target_frames(args.target_path, args.video_stride)
     print(f"Run reenactment for {len(frames)} frames")
+    fb = effective_frame_batch(args.frame_batch, g["meta"]["size"])
+    if fb != args.frame_batch:
+        print(f"frame_batch {args.frame_batch} at "
+              f"{g['meta']['size']} hits a measured XLA tiling pathology "
+              f"(PERF.md); padding batches to {fb}")
+        args.frame_batch = fb
     mesh = None
     if args.n_devices is not None and args.n_devices > 1:
         from ..parallel import make_mesh

@@ -169,3 +169,18 @@ def test_generator_1024_structural():
                          num_layers_shift=8, w_plus=True)
     assert img.shape == (1, 256, 256, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_effective_frame_batch_guards_1024_pathology():
+    """No user can hit the measured 26.9 fps batch-4 tiling hole at 1024
+    (PERF.md FFHQ-1024 table): batches 3-7 round up to 8; 256 and the
+    healthy 1024 batches pass through unchanged."""
+    from stylegan_directions_face_reenactment_tpu.cli.run_inference import (
+        effective_frame_batch)
+
+    for fb in (3, 4, 5, 6, 7):
+        assert effective_frame_batch(fb, 1024) == 8
+    for fb in (1, 2, 8, 16):
+        assert effective_frame_batch(fb, 1024) == fb
+    for fb in (1, 4, 16):
+        assert effective_frame_batch(fb, 256) == fb
