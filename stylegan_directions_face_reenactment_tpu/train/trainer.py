@@ -158,8 +158,12 @@ class Trainer:
 
         models_arrays, models_statics = strip_statics(self.models)
         # jitted eval programs are built once per Trainer (retracing them on
-        # every evaluate() call would recompile each eval cadence)
-        cached = getattr(self, "_eval_fns", None)
+        # every evaluate() call would recompile each eval cadence), keyed by
+        # every piece of config the closures capture — a mutated args
+        # between calls gets fresh programs instead of stale closures
+        eval_key = (method, args.deca_alignment, args.deca_image_size,
+                    args.truncation, args.num_layers_shift, args.w_plus)
+        cached = getattr(self, "_eval_fns", {}).get(eval_key)
 
         if method == "paired":
             ds = CustomDatasetPairedValidation(args.test_dataset_path,
@@ -243,7 +247,8 @@ class Trainer:
             return csim, pose_err, exp_err, imgs_source, imgs_target, imgs_shifted
 
         if cached is None:
-            self._eval_fns = (eval_batch_paired, eval_batch)
+            self._eval_fns = {**getattr(self, "_eval_fns", {}),
+                              eval_key: (eval_batch_paired, eval_batch)}
         else:
             eval_batch_paired, eval_batch = cached
 
