@@ -276,10 +276,19 @@ def main():
             g, a, deca, spec, sfd, fan, truncation=0.7,
             truncation_latent=trunc, compute_dtype=compute_dtype,
             fan_params=fan, s3fd_params=sfd, output_u8=True)
-        rng = np.random.RandomState(5)
-        vid = [rng.randint(0, 256, (480, 480, 3)).astype(np.uint8)
-               for _ in range(n_frames)]
-        src_cell = rng.randint(0, 256, (256, 256, 3)).astype(np.uint8)
+        # smooth moving-gradient frames: random NOISE video is an x264
+        # pathology (all-intra ~26 Mb/s: 9.8 s to decode 48 frames vs
+        # 0.5 s for these) and no real face video looks like noise —
+        # smooth frames measure the codec at representative statistics
+        yy, xx = np.mgrid[0:480, 0:480].astype(np.float32)
+        vid = []
+        for t in range(n_frames):
+            vid.append(np.stack(
+                [(127 + 100 * np.sin(xx / 60 + t * 0.2)),
+                 (127 + 100 * np.cos(yy / 70 - t * 0.15)),
+                 (127 + 80 * np.sin((xx + yy) / 90 + t * 0.1))],
+                axis=-1).astype(np.uint8))
+        src_cell = np.ascontiguousarray(vid[0][:256, :256])
 
         def upload(chunk):
             arr = np.stack(chunk)
@@ -303,12 +312,9 @@ def main():
             futs = {i: pool.submit(upload, chunks[i])
                     for i in range(min(3, len(chunks)))}
             grids = []
-            for ci, chunk in enumerate(chunks):
-                dev = futs.pop(ci).result()
-                if ci + 3 < len(chunks):
-                    futs[ci + 3] = pool.submit(upload, chunks[ci + 3])
-                reen_u8, _lat, crops_u8, ok, in_frame, _pts = fused_u8(
-                    source_code, params_source, angles_source, dev)
+
+            def process(chunk, outs):
+                reen_u8, _lat, crops_u8, ok, in_frame, _pts = outs
                 n = len(chunk)
                 reen_np = np.asarray(reen_u8)[:n]
                 crops_np = np.asarray(crops_u8)[:n]
@@ -316,6 +322,23 @@ def main():
                 for j in range(n):
                     grids.append(np.concatenate(
                         [src_cell, crops_np[j], reen_np[j]], axis=1))
+
+            # 3-stage software pipeline like the CLI: upload(i+3) ∥
+            # device(i) ∥ host-assembly(i-1), downloads started async
+            pending = None
+            for ci, chunk in enumerate(chunks):
+                dev = futs.pop(ci).result()
+                if ci + 3 < len(chunks):
+                    futs[ci + 3] = pool.submit(upload, chunks[ci + 3])
+                outs = fused_u8(source_code, params_source,
+                                angles_source, dev)
+                for o in outs:
+                    o.copy_to_host_async()
+                if pending is not None:
+                    process(*pending)
+                pending = (chunk, outs)
+            if pending is not None:
+                process(*pending)
             generate_video(grids, os.path.join(td, "out.mp4"))
             dt = time.perf_counter() - t0
             pool.shutdown(wait=False)

@@ -104,9 +104,13 @@ def _run_targets_fused(args, resized, reenact_fused, source_img,
     ONE device program per chunk (detect → crop → reenact,
     `pipeline/reenactment.py::reenact_raw_batch`), outputs download as
     uint8. Host uploads are prefetched 3 chunks deep (the unfused loop
-    overlapped exactly one). Frames whose FFHQ box leaves the frame are
-    re-run through the host-exact pad+fade crop + the unfused program
-    (rare: real faces are overwhelmingly in-frame)."""
+    overlapped exactly one), downloads start asynchronously the moment a
+    chunk's program is dispatched, and the host-side work for chunk i
+    (PNG saves, grid assembly, the rare out-of-frame fallback) runs while
+    the device computes chunk i+1 — a 3-stage software pipeline. Frames
+    whose FFHQ box leaves the frame are re-run through the host-exact
+    pad+fade crop + the unfused program (rare: real faces are
+    overwhelmingly in-frame)."""
     import jax
 
     bi = args.frame_batch
@@ -130,13 +134,10 @@ def _run_targets_fused(args, resized, reenact_fused, source_img,
     idx = 0
     n_no_face = 0
     fallback = None
-    for ci, chunk in enumerate(chunks):
-        dev = futs.pop(ci).result()
-        nxt = ci + depth
-        if nxt < len(chunks):
-            futs[nxt] = pool.submit(upload, chunks[nxt])
-        reen_u8, _lat, crops_u8, ok, in_frame, pts = reenact_fused(
-            source_code, params_source, angles_source, dev)
+
+    def process(chunk, outs):
+        nonlocal idx, n_no_face, fallback
+        reen_u8, _lat, crops_u8, ok, in_frame, pts = outs
         n = len(chunk)
         reen_u8 = np.array(reen_u8)[:n]
         crops_u8 = np.array(crops_u8)[:n]
@@ -173,6 +174,24 @@ def _run_targets_fused(args, resized, reenact_fused, source_img,
                 if args.save_video:
                     grids.append(grid)
             idx += 1
+
+    pending = None
+    for ci, chunk in enumerate(chunks):
+        dev = futs.pop(ci).result()
+        nxt = ci + depth
+        if nxt < len(chunks):
+            futs[nxt] = pool.submit(upload, chunks[nxt])
+        outs = reenact_fused(source_code, params_source, angles_source, dev)
+        for o in outs:
+            try:
+                o.copy_to_host_async()
+            except AttributeError:  # non-jax.Array output (mesh path lists)
+                pass
+        if pending is not None:
+            process(*pending)
+        pending = (chunk, outs)
+    if pending is not None:
+        process(*pending)
     pool.shutdown(wait=False)
     if n_no_face:
         print(f"warning: no face detected in {n_no_face} target frame(s)")

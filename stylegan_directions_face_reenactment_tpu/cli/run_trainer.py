@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="paired method: memoize the fixed dataset frames' "
                         "DECA coefficients (training invariants) instead of "
                         "recomputing their alignment+encode pass every step")
+    p.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="rematerialize the under-grad blocks in the "
+                        "backward (jax.checkpoint): HBM for FLOPs — for "
+                        "memory-constrained configs; costs ~1.54x step "
+                        "time at 256²/batch 16 (PERF.md)")
     p.add_argument("--no_evaluation", action="store_true",
                    help="disable the eval cadence (smoke runs without a "
                         "validation set)")
@@ -108,8 +114,15 @@ def main(argv=None):
         deca_alignment=args_ns.deca_alignment,
         train_compute_dtype=args_ns.train_compute_dtype,
         cache_gt_shape=args_ns.cache_gt_shape,
+        remat=args_ns.remat,
         evaluation=not args_ns.no_evaluation,
     )
+    if targs.batch_size in (24, 48):
+        # measured, reproducible runtime fault at these shapes — remat or
+        # not, while 16 and 32 run fine (PERF.md training batch sweep)
+        print(f"warning: batch_size {targs.batch_size} reproducibly faults "
+              "the XLA:TPU runtime on v5e (kernel fault, not memory — see "
+              "PERF.md); use 16 or 32")
 
     g = load_generator(targs.dataset_type, random_init=args_ns.random_init,
                        resolution=targs.image_resolution)

@@ -63,6 +63,11 @@ class TrainingArguments:
     # (training invariants) instead of recomputing the alignment+encode
     # pass on them every step like the reference (`trainer.py:361-365`)
     cache_gt_shape: bool = True
+    # rematerialize the under-grad blocks (shifted synthesis; DECA +
+    # loss nets) in the backward pass (jax.checkpoint): HBM for FLOPs.
+    # Opt-in — measured 1.54x step time at 256²/batch 16 where memory is
+    # not the constraint (PERF.md); for memory-constrained configs
+    remat: bool = False
     channel_multiplier: int = 2
     truncation: float = 0.7
     dim_z: int = 512

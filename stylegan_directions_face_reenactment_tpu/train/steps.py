@@ -170,6 +170,17 @@ def _a_apply(a_train: Params, delta_p: jnp.ndarray,
     return out
 
 
+def _maybe_remat(args: TrainingArguments, fn):
+    """`args.remat`: rematerialize this block in the backward pass
+    (jax.checkpoint) instead of storing its activations — HBM for FLOPs.
+    Measured 1.54× step time at 256²/batch 16 where memory is NOT the
+    constraint (PERF.md training batch sweep), so it ships opt-in: its
+    value is memory-constrained configs (1024 generators, big batches on
+    smaller chips). Numerics are exactly the plain step's
+    (`test_trainer_e2e.py::test_remat_step_matches_plain`)."""
+    return jax.checkpoint(fn) if getattr(args, "remat", False) else fn
+
+
 def _compute_dtype(args: TrainingArguments):
     return (jnp.bfloat16 if getattr(args, "train_compute_dtype", "float32")
             == "bfloat16" else jnp.float32)
@@ -246,18 +257,27 @@ def make_synthetic_step(models: FrozenModels, spec: DirectionsSpec,
 
         def loss_fn_t(a_train):
             shift = _a_apply(a_train, shift_vector, args)
-            imgs_shifted, _ = generate_image(
-                models.generator, z_src, truncation=args.truncation,
-                truncation_latent=models.truncation_latent, shift_code=shift,
-                input_is_latent=False, return_latents=True,
-                num_layers_shift=args.num_layers_shift, w_plus=args.w_plus,
-                compute_dtype=_compute_dtype(args))
-            params_shifted, _ = shapemodel(imgs_shifted)
-            return calculate_losses(
-                models.deca, models.id_backbone, models.lpips, spec, lambdas,
-                params_source, angles_source, params_shifted, params_target,
-                shift_vector, target_indices, imgs_source, imgs_shifted,
-                disentanglement_50=args.disentanglement_50)
+
+            def synth(shift):
+                return generate_image(
+                    models.generator, z_src, truncation=args.truncation,
+                    truncation_latent=models.truncation_latent,
+                    shift_code=shift, input_is_latent=False,
+                    return_latents=True,
+                    num_layers_shift=args.num_layers_shift,
+                    w_plus=args.w_plus, compute_dtype=_compute_dtype(args))
+
+            def shape_and_losses(imgs_shifted):
+                params_shifted, _ = shapemodel(imgs_shifted)
+                return calculate_losses(
+                    models.deca, models.id_backbone, models.lpips, spec,
+                    lambdas, params_source, angles_source, params_shifted,
+                    params_target, shift_vector, target_indices,
+                    imgs_source, imgs_shifted,
+                    disentanglement_50=args.disentanglement_50)
+
+            imgs_shifted, _ = _maybe_remat(args, synth)(shift)
+            return _maybe_remat(args, shape_and_losses)(imgs_shifted)
 
         (loss, loss_dict), grads = jax.value_and_grad(
             loss_fn_t, has_aux=True)(trainable)
@@ -349,18 +369,27 @@ def make_real_step(models: FrozenModels, spec: DirectionsSpec,
 
         def loss_fn_t(a_train):
             shift = _a_apply(a_train, shift_vector, args)
-            imgs_shifted, _ = generate_image(
-                models.generator, source_w, truncation=args.truncation,
-                truncation_latent=models.truncation_latent, shift_code=shift,
-                input_is_latent=True, return_latents=True,
-                num_layers_shift=args.num_layers_shift, w_plus=args.w_plus,
-                compute_dtype=_compute_dtype(args))
-            params_shifted, _ = shapemodel(imgs_shifted)
-            return calculate_losses(
-                models.deca, models.id_backbone, models.lpips, spec, lambdas,
-                params_source, angles_source, params_shifted, params_target,
-                shift_vector, target_indices, source_real_img, imgs_shifted,
-                disentanglement_50=args.disentanglement_50)
+
+            def synth(shift):
+                return generate_image(
+                    models.generator, source_w, truncation=args.truncation,
+                    truncation_latent=models.truncation_latent,
+                    shift_code=shift, input_is_latent=True,
+                    return_latents=True,
+                    num_layers_shift=args.num_layers_shift,
+                    w_plus=args.w_plus, compute_dtype=_compute_dtype(args))
+
+            def shape_and_losses(imgs_shifted):
+                params_shifted, _ = shapemodel(imgs_shifted)
+                return calculate_losses(
+                    models.deca, models.id_backbone, models.lpips, spec,
+                    lambdas, params_source, angles_source, params_shifted,
+                    params_target, shift_vector, target_indices,
+                    source_real_img, imgs_shifted,
+                    disentanglement_50=args.disentanglement_50)
+
+            imgs_shifted, _ = _maybe_remat(args, synth)(shift)
+            return _maybe_remat(args, shape_and_losses)(imgs_shifted)
 
         (loss, loss_dict), grads = jax.value_and_grad(
             loss_fn_t, has_aux=True)(trainable)
@@ -436,17 +465,26 @@ def make_paired_step(models: FrozenModels, spec: DirectionsSpec,
 
         def loss_fn_t(a_train):
             shift = _a_apply(a_train, shift_vector, args)
-            imgs_shifted, shifted_latents = generate_image(
-                models.generator, source_w, truncation=args.truncation,
-                truncation_latent=models.truncation_latent, shift_code=shift,
-                input_is_latent=True, return_latents=True,
-                num_layers_shift=args.num_layers_shift, w_plus=args.w_plus,
-                compute_dtype=_compute_dtype(args))
-            params_shifted, _ = shapemodel(imgs_shifted)
-            return calculate_losses_paired(
-                models.deca, models.id_backbone, models.lpips, lambdas,
-                params_shifted, params_target, imgs_shifted, target_img,
-                shifted_latents, target_w)
+
+            def synth(shift):
+                return generate_image(
+                    models.generator, source_w, truncation=args.truncation,
+                    truncation_latent=models.truncation_latent,
+                    shift_code=shift, input_is_latent=True,
+                    return_latents=True,
+                    num_layers_shift=args.num_layers_shift,
+                    w_plus=args.w_plus, compute_dtype=_compute_dtype(args))
+
+            def shape_and_losses(imgs_shifted, shifted_latents):
+                params_shifted, _ = shapemodel(imgs_shifted)
+                return calculate_losses_paired(
+                    models.deca, models.id_backbone, models.lpips, lambdas,
+                    params_shifted, params_target, imgs_shifted, target_img,
+                    shifted_latents, target_w)
+
+            imgs_shifted, shifted_latents = _maybe_remat(args, synth)(shift)
+            return _maybe_remat(args, shape_and_losses)(imgs_shifted,
+                                                        shifted_latents)
 
         (loss, loss_dict), grads = jax.value_and_grad(
             loss_fn_t, has_aux=True)(trainable)

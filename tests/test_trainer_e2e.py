@@ -136,3 +136,57 @@ def test_trainer_evaluate_paired(tmp_path, models):
     metrics = tr.evaluate(a, step=5)
     assert all(np.isfinite(v) for v in metrics.values())
     assert (tmp_path / "exp" / "images" / "0005_reenactment.png").exists()
+
+
+def test_remat_step_matches_plain(models):
+    """`--remat` (jax.checkpoint on the under-grad blocks) is a pure
+    memory/FLOPs trade: one paired cached-shape step must produce the
+    same loss and updated A as the plain step."""
+    import jax.numpy as jnp
+
+    from stylegan_directions_face_reenactment_tpu.geometry import (
+        initialize_directions)
+    from stylegan_directions_face_reenactment_tpu.models import (
+        init_direction_matrix)
+    from stylegan_directions_face_reenactment_tpu.train import (
+        make_optimizer, make_paired_step)
+    from stylegan_directions_face_reenactment_tpu.train.steps import split_a
+
+    batch = 2
+    ks = jax.random.split(jax.random.PRNGKey(3), 8)
+    a = init_direction_matrix(ks[0], 512, 15, w_plus=True, num_layers=8)
+    spec = initialize_directions("voxceleb", 15, 6.0)
+    n_lat = n_latent_for(SIZE)
+    sw = jax.random.normal(ks[1], (batch, n_lat, 512))
+    tw = jax.random.normal(ks[2], (batch, n_lat, 512))
+    t_img = jax.random.uniform(ks[3], (batch, SIZE, SIZE, 3),
+                               minval=-1.0, maxval=1.0)
+
+    def coeffs(k):
+        kk = jax.random.split(k, 3)
+        return {"pose": 0.1 * jax.random.normal(kk[0], (batch, 6)),
+                "alpha_shp": 0.1 * jax.random.normal(kk[1], (batch, 100)),
+                "alpha_exp": 0.1 * jax.random.normal(kk[2], (batch, 50)),
+                "cam": jnp.tile(jnp.asarray([[8.0, 0.0, 0.0]]), (batch, 1))}
+
+    p_s, p_t = coeffs(ks[4]), coeffs(ks[5])
+    ang = jnp.zeros((batch, 3))
+
+    outs = {}
+    for remat in (False, True):
+        args = TrainingArguments(batch_size=batch, image_resolution=SIZE,
+                                 deca_image_size=SIZE,
+                                 deca_alignment="resize",
+                                 training_method="paired", remat=remat)
+        tx = make_optimizer(args)
+        step = make_paired_step(models, spec, args, tx, cached_shape=True)
+        opt_state = tx.init(split_a(a)[0])
+        a2, _o, ld = step(a, opt_state, ks[6], sw, tw, t_img,
+                          p_s, ang, p_t, ang)
+        outs[remat] = (float(ld["loss"]), np.asarray(a2["weight"]))
+
+    assert np.isfinite(outs[False][0])
+    np.testing.assert_allclose(outs[True][0], outs[False][0],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs[True][1], outs[False][1],
+                               rtol=1e-5, atol=1e-7)

@@ -9,7 +9,13 @@ find the throughput knee on TPU. Methodology mirrors
 tools/measure_gt_cache.py: warm-up step outside the window, n timed
 steps chained through the optimizer state. Run:
 
-  python tools/train_batch_sweep.py [n_steps] [batch,batch,...]
+  python tools/train_batch_sweep.py [n_steps] [batch,batch,...] [variant]
+
+variant: both (default) | cached | uncached | cached_remat (the `--remat`
+jax.checkpoint step). Batches 24 and 48 reproducibly fault the TPU
+runtime on v5e (remat or not — a shape-specific backend fault, not
+memory: plain batch 32 runs fine) and a fault poisons the client, so
+sweep one (batch, variant) per process when probing the upper end.
 """
 
 import json
@@ -29,6 +35,7 @@ def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     batches = ([int(b) for b in sys.argv[2].split(",")]
                if len(sys.argv) > 2 else [6, 12, 24, 48])
+    variant = sys.argv[3] if len(sys.argv) > 3 else "both"
 
     from stylegan_directions_face_reenactment_tpu.configs.arguments import (
         TrainingArguments)
@@ -84,25 +91,29 @@ def main():
         tgt_img = jax.random.uniform(kd[3], (batch, 256, 256, 3),
                                      minval=-1.0, maxval=1.0)
 
-        args = TrainingArguments(batch_size=batch, deca_alignment="fan")
+        args = TrainingArguments(batch_size=batch, deca_alignment="fan",
+                                 remat=(variant == "cached_remat"))
         tx = make_optimizer(args)
+        row = {"batch": batch, "remat": args.remat}
 
-        step_u = make_paired_step(models, spec, args, tx)
-        dt_u = timed(step_u, batch, src_w, src_img, tgt_w, tgt_img)
+        if variant in ("both", "uncached"):
+            step_u = make_paired_step(models, spec, args, tx)
+            dt_u = timed(step_u, batch, src_w, src_img, tgt_w, tgt_img)
+            row["uncached_ms"] = round(dt_u * 1e3, 1)
+            row["uncached_imgs_per_s"] = round(batch / dt_u, 1)
 
-        shape = make_shape_program(models, args)
-        p_src, ang_src = shape(src_img)
-        p_tgt, ang_tgt = shape(tgt_img)
-        jax.block_until_ready(ang_tgt)
-        step_c = make_paired_step(models, spec, args, tx, cached_shape=True)
-        dt_c = timed(step_c, batch, src_w, tgt_w, tgt_img,
-                     p_src, ang_src, p_tgt, ang_tgt)
+        if variant in ("both", "cached", "cached_remat"):
+            shape = make_shape_program(models, args)
+            p_src, ang_src = shape(src_img)
+            p_tgt, ang_tgt = shape(tgt_img)
+            jax.block_until_ready(ang_tgt)
+            step_c = make_paired_step(models, spec, args, tx,
+                                      cached_shape=True)
+            dt_c = timed(step_c, batch, src_w, tgt_w, tgt_img,
+                         p_src, ang_src, p_tgt, ang_tgt)
+            row["cached_ms"] = round(dt_c * 1e3, 1)
+            row["cached_imgs_per_s"] = round(batch / dt_c, 1)
 
-        row = {"batch": batch,
-               "uncached_ms": round(dt_u * 1e3, 1),
-               "uncached_imgs_per_s": round(batch / dt_u, 1),
-               "cached_ms": round(dt_c * 1e3, 1),
-               "cached_imgs_per_s": round(batch / dt_c, 1)}
         rows.append(row)
         print(json.dumps(row), flush=True)
 
