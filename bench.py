@@ -1,39 +1,61 @@
 """Benchmark: reenacted 256x256 frames/sec/chip on the flagship pipeline.
 
-One JSON line, four numbers:
+One JSON line. Every image-path number is reported at the compute dtype
+stated here; the CLI reaches either via `--compute_dtype`:
 
-  * value / "reenact_fps_256" — the device-side reenactment path exactly as
-    the reference computes it per frame: SFD-crop→FAN DECA alignment
+  * value / "reenact_fps_256" — bf16 (the benched serving config, CLI
+    `--compute_dtype bfloat16`): the device-side reenactment path exactly
+    as the reference computes it per frame: SFD-crop→FAN DECA alignment
     (`decalib/datasets/detectors.py:23-42` + `datasets.py:57-86`) → DECA
     shape regression → Δp → direction-matrix shift → StyleGAN2 synthesis,
     batched over frames as ONE jitted program (the reference loops per
     frame, `run_inference.py:170-195`).
-  * "full_path_fps" — apples-to-apples with the reference's whole loop:
-    SFD face detection + FAN landmarks + FFHQ crop
-    (`utils_inference.py:61-82`) + the reenactment program, fused into
-    ONE device dispatch per chunk
-    (`pipeline/reenactment.py::reenact_raw_batch`, the CLI's default
-    --device_crop path). The crop runs on device (fused PIL-compatible
-    bicubic, ≤1 LSB vs the host path) so raw frames upload once as uint8
-    and nothing round-trips to the host mid-chunk; only out-of-frame
-    boxes would take the host pad+fade fallback (none in this stream —
-    real faces are overwhelmingly in-frame).
+  * "reenact_fps_256_f32" — the same program at float32, the CLI default
+    and the parity-suite dtype (the reference's implicit dtype,
+    `libs/trainer.py:25`).
+  * "full_path_fps" — apples-to-apples with the reference's whole loop AT
+    THE FAITHFUL DETECTION SHAPE: frames rescaled to width 1000 exactly
+    like `utils_inference.py:67` (the CLI default), then SFD detection +
+    FAN landmarks + FFHQ crop + the reenactment program, fused into ONE
+    device dispatch per chunk (`pipeline/reenactment.py::reenact_raw_batch`,
+    the CLI's default --device_crop path). uint8 both ways, no host sync
+    mid-chunk; only out-of-frame boxes would take the host pad+fade
+    fallback (none in this stream).
+  * "full_path_fps_detect480" — the same loop detecting at native 480²
+    (the CLI's `--detect_width 0` fast path; ~4.3× fewer detection FLOPs
+    than width-1000).
+  * "full_path_realistic_fps" — full_path_fps's program on a
+    generator-synthesized moving face clip (deterministic keys) instead
+    of uniform noise: real-image statistics through the data-dependent
+    host stages (top-k/NMS are fixed-shape on device, but ok/in-frame
+    routing is content-dependent). Detector weights are random-init in
+    this environment, so box statistics still differ from production.
   * "full_path_reuse_lms_fps" — the single-detection variant
-    (`--reuse_landmarks`): the preprocessing FAN landmarks, mapped into
-    crop coordinates, feed the DECA kpt68 bbox directly — no second
-    SFD+FAN pass inside the alignment (documented deviation; the
-    reference re-detects on every crop).
-  * "full_path_host_crop_fps" — the same loop with the host-side native
+    (`--reuse_landmarks`, width-1000 detection): the preprocessing FAN
+    landmarks, mapped into crop coordinates, feed the DECA kpt68 bbox
+    directly — no second SFD+FAN pass inside the alignment (documented
+    deviation; the reference re-detects on every crop).
+  * "full_path_host_crop_fps" — the 480² loop with the host-side native
     crop (the `--no-device_crop` CLI path), host work pipelined against
     device compute the way the CLI overlaps them.
-  * "fan_frame_fps" — the `fan_frame` alignment (FAN directly on the 256
-    frame, no detector pass inside the DECA alignment).
-  * "resize_fps" — the fast path (bilinear resize instead of the FAN-warp
-    DECA alignment; `--deca_alignment resize`).
+  * "fan_frame_fps" / "resize_fps" — the lighter DECA alignments
+    (`--deca_alignment fan_frame` / `resize`).
   * "e2e_video_fps" — TRUE video→video: libav mp4 decode → fused reenact
-    (uint8 uploads AND downloads) → [source|target|reenacted] grid
-    assembly → libav mp4 encode, host work pipelined 3 chunks deep like
-    the CLI. Matches `run_inference.py:157-199` end to end, including IO.
+    → mp4 encode, host work pipelined 3 chunks deep like the CLI, with
+    the CLI's device-composed [crop|reenacted] u8 grid row (ONE download
+    per chunk; the constant source cell is prepended host-side).
+    Matches `run_inference.py:157-199` end to end, including IO.
+  * "e2e_video_reenact_fps" — the `--video_content reenact` variant:
+    only the reenacted frames cross the link (half the payload).
+  * "train_paired_imgs_per_s" / "train_b16_imgs_per_s" — the paired
+    cached-GT train step at batch 12 (reference default) / 16 (the
+    measured TPU knee, PERF.md).
+  * "ffhq1024_fps" — the 1024 FFHQ generator config (BASELINE.md's
+    optional row): fused reenact with resize alignment at batch 8, bf16.
+  * "e4e_inversion_ips" — e4e W+ inversion images/s at batch 16
+    (`invert_images.py` path), distinct input per call (tunnel dedup).
+  * "pti_warm_s" — the 200-step PTI per-identity generator fine-tune
+    (`libs/optimization.py:25-72`), warm one-scan wall seconds.
 
 vs_baseline is relative to the 500 fps/chip north-star target (BASELINE.md;
 the reference publishes no numbers).
@@ -155,6 +177,10 @@ def main():
                              truncation_latent=trunc,
                              compute_dtype=compute_dtype, fan_params=fan,
                              s3fd_params=sfd)
+    fn_fan_f32 = make_reenact_fn(g, a, deca, spec, truncation=0.7,
+                                 truncation_latent=trunc,
+                                 compute_dtype=jnp.float32, fan_params=fan,
+                                 s3fd_params=sfd)
     fn_fan_frame = make_reenact_fn(g, a, deca, spec, truncation=0.7,
                                    truncation_latent=trunc,
                                    compute_dtype=compute_dtype,
@@ -165,6 +191,8 @@ def main():
 
     dt_fan = _time_loop(lambda: fn_fan(source_code, params_source,
                                        angles_source, targets)[0])
+    dt_fan_f32 = _time_loop(lambda: fn_fan_f32(source_code, params_source,
+                                               angles_source, targets)[0])
     dt_fan_frame = _time_loop(lambda: fn_fan_frame(
         source_code, params_source, angles_source, targets)[0])
     dt_resize = _time_loop(lambda: fn_resize(source_code, params_source,
@@ -178,6 +206,15 @@ def main():
     from stylegan_directions_face_reenactment_tpu.pipeline.reenactment import (
         make_fused_reenact_fn)
 
+    # faithful CLI-default shape: frames rescaled to width 1000 before
+    # detection exactly like the reference (`utils_inference.py:67`,
+    # `pipeline/preprocess.py::DETECT_WIDTH`); a 16:9 source frame lands
+    # at 562×1000. The 480² native shape is the labeled --detect_width 0
+    # fast path.
+    frames_1000 = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(3), (batch, 562, 1000, 3),
+                           0, 256, jnp.int32), dtype=np.uint8)
+    frames_1000_dev = jnp.asarray(frames_1000)
     frames_u8 = np.asarray(
         jax.random.randint(jax.random.PRNGKey(3), (batch, 480, 480, 3),
                            0, 256, jnp.int32), dtype=np.uint8)
@@ -187,11 +224,44 @@ def main():
         g, a, deca, spec, sfd, fan, truncation=0.7, truncation_latent=trunc,
         compute_dtype=compute_dtype, fan_params=fan, s3fd_params=sfd)
 
-    def full_path():
-        return fused_fan(source_code, params_source, angles_source,
-                         frames_dev)[0]
+    dt_full = _time_loop(lambda: fused_fan(source_code, params_source,
+                                           angles_source,
+                                           frames_1000_dev)[0], iters=12)
+    dt_full_480 = _time_loop(lambda: fused_fan(source_code, params_source,
+                                               angles_source,
+                                               frames_dev)[0], iters=12)
 
-    dt_full = _time_loop(full_path, iters=12)
+    # realistic content at the faithful shape: a moving face synthesized
+    # by the generator itself (deterministic keys), pasted into a gray
+    # 562×1000 canvas with a drifting offset
+    def make_realistic_frames():
+        ws = jax.random.normal(jax.random.PRNGKey(11), (batch, 512))
+        faces = jax.jit(
+            lambda z: generate_image_for_bench(g, z, trunc))(ws)
+        faces_u8 = np.asarray(jnp.round(
+            jnp.clip((faces + 1.0) * 127.5, 0, 255)).astype(jnp.uint8))
+        canvas = np.full((batch, 562, 1000, 3), 127, np.uint8)
+        for i in range(batch):
+            y = 80 + (i * 9) % 200
+            x = 150 + (i * 37) % 550
+            canvas[i, y:y + 256, x:x + 256] = faces_u8[i]
+        return jnp.asarray(canvas)
+
+    from stylegan_directions_face_reenactment_tpu.pipeline.synthesis import (
+        generate_image as _gen_img)
+
+    def generate_image_for_bench(g_params, z, trunc_lat):
+        return _gen_img(g_params, z, truncation=0.7,
+                        truncation_latent=trunc_lat,
+                        compute_dtype=compute_dtype)
+
+    try:
+        frames_real_dev = make_realistic_frames()
+        dt_full_real = _time_loop(
+            lambda: fused_fan(source_code, params_source, angles_source,
+                              frames_real_dev)[0], iters=12)
+    except Exception:
+        dt_full_real = None
 
     # ---- single-detection variant (--reuse_landmarks): the fused
     # program's detection landmarks, mapped into crop coords, feed the
@@ -200,11 +270,9 @@ def main():
         g, a, deca, spec, sfd, fan, truncation=0.7, truncation_latent=trunc,
         compute_dtype=compute_dtype, reuse_landmarks=True)
 
-    def full_path_reuse():
-        return fused_reuse(source_code, params_source, angles_source,
-                           frames_dev)[0]
-
-    dt_full_reuse = _time_loop(full_path_reuse, iters=12)
+    dt_full_reuse = _time_loop(lambda: fused_reuse(
+        source_code, params_source, angles_source, frames_1000_dev)[0],
+        iters=12)
 
     # ---- host-crop comparison path (--no-device_crop CLI) ---------------
     lm_rng = np.random.RandomState(0)
@@ -264,8 +332,9 @@ def main():
     dt_full_host = full_path_host_stream()
 
     # ---- true video→video: libav decode → fused reenact (uint8 both
-    # ways) → grid assembly → libav encode, pipelined like the CLI -------
-    def measure_e2e_video(n_frames=48):
+    # ways, the CLI's device-composed grid row = ONE download per chunk)
+    # → libav encode, pipelined like the CLI -----------------------------
+    def measure_e2e_video(n_frames=48, outputs_mode="grid"):
         import tempfile
         from concurrent.futures import ThreadPoolExecutor
 
@@ -275,7 +344,7 @@ def main():
         fused_u8 = make_fused_reenact_fn(
             g, a, deca, spec, sfd, fan, truncation=0.7,
             truncation_latent=trunc, compute_dtype=compute_dtype,
-            fan_params=fan, s3fd_params=sfd, output_u8=True)
+            fan_params=fan, s3fd_params=sfd, outputs=outputs_mode)
         # smooth moving-gradient frames: random NOISE video is an x264
         # pathology (all-intra ~26 Mb/s: 9.8 s to decode 48 frames vs
         # 0.5 s for these) and no real face video looks like noise —
@@ -314,14 +383,19 @@ def main():
             grids = []
 
             def process(chunk, outs):
-                reen_u8, _lat, crops_u8, ok, in_frame, _pts = outs
+                # the CLI's reduced-payload downloads: one u8 grid row
+                # ([crop|reenacted], source cell prepended host-side) or
+                # the reenacted frames alone (--video_content reenact)
+                img_u8, ok, in_frame, _pts = outs
                 n = len(chunk)
-                reen_np = np.asarray(reen_u8)[:n]
-                crops_np = np.asarray(crops_u8)[:n]
+                img_np = np.asarray(img_u8)[:n]
                 np.asarray(ok), np.asarray(in_frame)  # CLI fallback check
                 for j in range(n):
-                    grids.append(np.concatenate(
-                        [src_cell, crops_np[j], reen_np[j]], axis=1))
+                    if outputs_mode == "grid":
+                        grids.append(np.concatenate([src_cell, img_np[j]],
+                                                    axis=1))
+                    else:
+                        grids.append(img_np[j])
 
             # 3-stage software pipeline like the CLI: upload(i+3) ∥
             # device(i) ∥ host-assembly(i-1), downloads started async
@@ -345,14 +419,19 @@ def main():
         return len(frames) / dt
 
     try:
-        e2e_video_fps = measure_e2e_video()
+        e2e_video_fps = measure_e2e_video(outputs_mode="grid")
     except Exception:
         e2e_video_fps = None  # native libav runtime unavailable
+    try:
+        e2e_video_reenact_fps = measure_e2e_video(outputs_mode="reenact")
+    except Exception:
+        e2e_video_reenact_fps = None
 
     # ---- paired training step (informational; steady-state GT-coefficient
-    # cache, `--cache_gt_shape` default): batch 12 @256, SFD-faithful
-    # alignment, grads through FLAME→ResNet50→G→A --------------------------
-    train_imgs_per_s = None
+    # cache, `--cache_gt_shape` default): batch 12 (reference default) and
+    # 16 (the measured TPU knee, PERF.md) @256, SFD-faithful alignment,
+    # grads through FLAME→ResNet50→G→A -----------------------------------
+    train_imgs_per_s = train_b16_imgs_per_s = None
     if os.environ.get("REENACT_BENCH_TRAIN", "1") != "0":
         try:
             from stylegan_directions_face_reenactment_tpu.configs.arguments import (
@@ -367,34 +446,117 @@ def main():
             idb = jit_build(init_backbone, jax.random.fold_in(key, 20))
             lp = jit_build(init_lpips_alex, jax.random.fold_in(key, 21))
             models = FrozenModels(g, deca, idb, lp, trunc, fan, sfd)
-            targs = TrainingArguments(batch_size=12, deca_alignment="fan")
-            tx = make_optimizer(targs)
-            step = make_paired_step(models, spec, targs, tx,
-                                    cached_shape=True)
-            shape_prog = make_shape_program(models, targs)
-            opt_state = tx.init({k: v for k, v in a.items() if k != "meta"})
-            kk = jax.random.split(jax.random.fold_in(key, 22), 4)
-            tw = jax.random.normal(kk[0], (12, n_latent_for(size), 512))
-            sw = jax.random.normal(kk[1], (12, n_latent_for(size), 512))
-            s_img = jax.random.uniform(kk[2], (12, 256, 256, 3),
-                                       minval=-1.0, maxval=1.0)
-            t_img = jax.random.uniform(kk[3], (12, 256, 256, 3),
-                                       minval=-1.0, maxval=1.0)
-            p_s, ang_s = shape_prog(s_img)
-            p_t, ang_t = shape_prog(t_img)
-            a_tr, o_tr, ld = step(a, opt_state, kk[0], sw, tw, t_img,
-                                  p_s, ang_s, p_t, ang_t)
-            jax.block_until_ready(ld["loss"])
-            n_tr = 8
-            t0 = time.perf_counter()
-            a_tr, o_tr = a, opt_state
-            for i in range(n_tr):
-                a_tr, o_tr, ld = step(a_tr, o_tr, kk[1], sw, tw, t_img,
+
+            def measure_train(bs, n_tr=8):
+                targs = TrainingArguments(batch_size=bs,
+                                          deca_alignment="fan")
+                tx = make_optimizer(targs)
+                step = make_paired_step(models, spec, targs, tx,
+                                        cached_shape=True)
+                shape_prog = make_shape_program(models, targs)
+                opt_state = tx.init({k: v for k, v in a.items()
+                                     if k != "meta"})
+                kk = jax.random.split(jax.random.fold_in(key, 22 + bs), 4)
+                tw = jax.random.normal(kk[0], (bs, n_latent_for(size), 512))
+                sw = jax.random.normal(kk[1], (bs, n_latent_for(size), 512))
+                s_img = jax.random.uniform(kk[2], (bs, 256, 256, 3),
+                                           minval=-1.0, maxval=1.0)
+                t_img = jax.random.uniform(kk[3], (bs, 256, 256, 3),
+                                           minval=-1.0, maxval=1.0)
+                p_s, ang_s = shape_prog(s_img)
+                p_t, ang_t = shape_prog(t_img)
+                a_tr, o_tr, ld = step(a, opt_state, kk[0], sw, tw, t_img,
                                       p_s, ang_s, p_t, ang_t)
-            jax.block_until_ready(a_tr["weight"])
-            train_imgs_per_s = 12 * n_tr / (time.perf_counter() - t0)
+                jax.block_until_ready(ld["loss"])
+                t0 = time.perf_counter()
+                a_tr, o_tr = a, opt_state
+                for i in range(n_tr):
+                    a_tr, o_tr, ld = step(a_tr, o_tr, kk[1], sw, tw, t_img,
+                                          p_s, ang_s, p_t, ang_t)
+                jax.block_until_ready(a_tr["weight"])
+                return bs * n_tr / (time.perf_counter() - t0)
+
+            train_imgs_per_s = measure_train(12)
+            train_b16_imgs_per_s = measure_train(16)
         except Exception:
-            train_imgs_per_s = None  # informational only; never sink bench
+            pass  # informational only; never sink bench
+
+    # ---- extended shipped-config metrics (each guarded; absent on error) --
+    ffhq1024_fps = e4e_inversion_ips = pti_warm_s = None
+    if os.environ.get("REENACT_BENCH_EXTENDED", "1") != "0":
+        try:
+            # 1024 FFHQ config: fused reenact w/ resize alignment, batch 8
+            # (the healthy batch; PERF.md FFHQ-1024 table), bf16
+            g1k = jit_build(lambda k: init_generator(k, size=1024),
+                            jax.random.fold_in(key, 30))
+            trunc1k = jax.jit(lambda k: mean_latent(g1k, k, 4096))(
+                jax.random.fold_in(key, 31))
+            spec_ffhq = initialize_directions("ffhq", 15, 6.0)
+            fn_1k = make_reenact_fn(g1k, a, deca, spec_ffhq, truncation=0.7,
+                                    truncation_latent=trunc1k,
+                                    compute_dtype=compute_dtype)
+            code_1k = jax.random.normal(jax.random.fold_in(key, 32),
+                                        (1, n_latent_for(1024), 512))
+            tgt_1k = jax.random.uniform(jax.random.fold_in(key, 33),
+                                        (8, 256, 256, 3),
+                                        minval=-1.0, maxval=1.0)
+            dt_1k = _time_loop(lambda: fn_1k(code_1k, params_source,
+                                             angles_source, tgt_1k)[0],
+                               iters=8)
+            ffhq1024_fps = 8 / dt_1k
+        except Exception:
+            pass
+        try:
+            # e4e inversion at batch 16 — rotate inputs so the tunnel's
+            # duplicate-dispatch dedup cannot fake the number
+            from stylegan_directions_face_reenactment_tpu.models.e4e import (
+                e4e_forward, init_e4e_encoder)
+            from stylegan_directions_face_reenactment_tpu.train.steps import (
+                merge_statics as _m, strip_statics as _s)
+            e4e = jit_build(lambda k: init_e4e_encoder(
+                k, image_resolution=256), jax.random.fold_in(key, 40))
+            e_arr, e_st = _s(e4e)
+
+            @jax.jit
+            def invert(e_arr, imgs):
+                return e4e_forward(_m(e_arr, e_st), imgs)
+
+            pool_imgs = [jax.random.uniform(jax.random.fold_in(key, 41 + i),
+                                            (16, 256, 256, 3),
+                                            minval=-1.0, maxval=1.0)
+                         for i in range(4)]
+            jax.block_until_ready(invert(e_arr, pool_imgs[0]))
+            n_it = 16
+            t0 = time.perf_counter()
+            for i in range(n_it):
+                out = invert(e_arr, pool_imgs[i % 4])
+            jax.block_until_ready(out)
+            e4e_inversion_ips = 16 * n_it / (time.perf_counter() - t0)
+        except Exception:
+            pass
+        try:
+            # 200-step PTI fine-tune, warm scan (tools/measure_pti.py)
+            from stylegan_directions_face_reenactment_tpu.losses.lpips import (
+                init_lpips_alex)
+            from stylegan_directions_face_reenactment_tpu.pipeline.pti import (
+                optimize_g)
+            lp_pti = jit_build(init_lpips_alex, jax.random.fold_in(key, 50))
+            lat = jnp.tile(trunc[:, None], (1, n_latent_for(size), 1))
+            real = jax.random.uniform(jax.random.fold_in(key, 51),
+                                      (1, size, size, 3),
+                                      minval=-1.0, maxval=1.0)
+
+            def pti_run():
+                _tuned, info = optimize_g(g, lat, real, lp_pti, trunc,
+                                          opt_steps=200)
+                return info["loss"]
+
+            jax.block_until_ready(pti_run())  # compile + first run
+            t0 = time.perf_counter()
+            jax.block_until_ready(pti_run())
+            pti_warm_s = time.perf_counter() - t0
+        except Exception:
+            pass
 
     fps = batch / dt_fan
     result = {
@@ -402,16 +564,30 @@ def main():
         "value": round(float(fps), 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(float(fps) / 500.0, 3),
+        "reenact_fps_256_f32": round(batch / dt_fan_f32, 1),
         "fan_frame_fps": round(batch / dt_fan_frame, 1),
         "resize_fps": round(batch / dt_resize, 1),
         "full_path_fps": round(batch / dt_full, 1),
+        "full_path_fps_detect480": round(batch / dt_full_480, 1),
         "full_path_reuse_lms_fps": round(batch / dt_full_reuse, 1),
         "full_path_host_crop_fps": round(batch / dt_full_host, 1),
     }
+    if dt_full_real is not None:
+        result["full_path_realistic_fps"] = round(batch / dt_full_real, 1)
     if e2e_video_fps is not None:
         result["e2e_video_fps"] = round(e2e_video_fps, 1)
+    if e2e_video_reenact_fps is not None:
+        result["e2e_video_reenact_fps"] = round(e2e_video_reenact_fps, 1)
     if train_imgs_per_s is not None:
         result["train_paired_imgs_per_s"] = round(train_imgs_per_s, 1)
+    if train_b16_imgs_per_s is not None:
+        result["train_b16_imgs_per_s"] = round(train_b16_imgs_per_s, 1)
+    if ffhq1024_fps is not None:
+        result["ffhq1024_fps"] = round(ffhq1024_fps, 1)
+    if e4e_inversion_ips is not None:
+        result["e4e_inversion_ips"] = round(e4e_inversion_ips, 1)
+    if pti_warm_s is not None:
+        result["pti_warm_s"] = round(pti_warm_s, 2)
     print(json.dumps(result))
 
 

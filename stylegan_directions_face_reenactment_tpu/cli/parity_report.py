@@ -75,6 +75,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "while CSIM still runs on the whole batch (`:729`). "
                         "Use when gating against metrics produced by the "
                         "reference's own evaluation loop")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype of the REENACT program under test "
+                        "(the CLI's --compute_dtype); the metric programs "
+                        "(DECA re-encode, ArcFace, pose/exp) always run "
+                        "f32 so a bf16 run quantifies serving-dtype drift "
+                        "against the same measuring stick")
     p.add_argument("--reference_metrics", default=None,
                    help="JSON file with the PyTorch reference's "
                         "{csim, pose, exp} on the same inputs; enables the "
@@ -175,6 +182,10 @@ def main(argv=None):
     reenact = make_reenact_fn(g_src, a, deca, spec, truncation=0.7,
                               truncation_latent=trunc, fan_params=fan_deca,
                               s3fd_params=sfd_deca,
+                              compute_dtype=(jnp.bfloat16
+                                             if args.compute_dtype
+                                             == "bfloat16"
+                                             else jnp.float32),
                               return_target_params=True,
                               reuse_landmarks=args.reuse_landmarks)
 
@@ -265,6 +276,7 @@ def main(argv=None):
         "optimize_generator": bool(args.optimize_generator),
         "deca_alignment": args.deca_alignment,
         "reuse_landmarks": bool(args.reuse_landmarks),
+        "compute_dtype": args.compute_dtype,
         "batch0_only": bool(args.batch0_only),
         "checkpoints": "random_init" if args.random_init else "real",
         "verified": not args.random_init,

@@ -36,6 +36,14 @@ def build_parser() -> argparse.ArgumentParser:
                    default=False)
     p.add_argument("--save_video", action=argparse.BooleanOptionalAction,
                    default=True)
+    p.add_argument("--video_content", default="grid",
+                   choices=["grid", "reenact"],
+                   help="what --save_video writes: 'grid' = the "
+                        "reference's [source|target|reenacted] rows "
+                        "(`utils_inference.py:20-33`); 'reenact' = only "
+                        "the reenacted frames — halves the device→host "
+                        "payload (no crop download; PERF.md e2e-video "
+                        "analysis)")
     p.add_argument("--dataset_type", default="voxceleb")
     p.add_argument("--image_resolution", type=int, default=None,
                    help="override the dataset's generator resolution "
@@ -73,6 +81,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: the reference's unconditional 1000, "
                         "`utils_inference.py:67`; 0 = detect at native "
                         "frame size — faster, documented fast path)")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="device compute dtype for the reenactment program "
+                        "(synthesis + detection/alignment nets + DECA "
+                        "trunk; coefficients stay f32). float32 matches "
+                        "the reference bit-for-bit-class numerics "
+                        "(`libs/trainer.py:25` is implicit f32); bfloat16 "
+                        "is the benched serving config (~halves HBM "
+                        "traffic on the MXU path — see PERF.md and the "
+                        "drift gate tests/test_parity_gate.py)")
     p.add_argument("--reuse_landmarks", action=argparse.BooleanOptionalAction,
                    default=False,
                    help="single-detection pipeline: feed the preprocessing "
@@ -85,36 +103,61 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def effective_frame_batch(frame_batch: int, generator_size: int) -> int:
+def effective_frame_batch(frame_batch: int, generator_size: int,
+                          n_devices: int = 1) -> int:
     """Guard the measured XLA tiling pathology at 1024: batch 3-7 synthesis
     compiles to a poor layout for the 1024 tail convolutions and is slower
     in absolute ms than batch 8 (PERF.md FFHQ-1024 table: batch 4 = 26.9
     fps vs batch 8 = 128.6). Chunks shorter than the batch are padded
     anyway, so rounding the batch up to 8 never changes the delivered
-    frames — only the padding."""
+    frames — only the padding. With ``n_devices`` > 1 the override rounds
+    up to the next multiple of n_devices ≥ 8 so a batch that divided the
+    mesh still does after the guard."""
     if generator_size >= 1024 and 2 < frame_batch < 8:
-        return 8
+        fb = 8
+        if n_devices > 1:
+            fb = ((fb + n_devices - 1) // n_devices) * n_devices
+        return fb
     return frame_batch
 
 
 def _run_targets_fused(args, resized, reenact_fused, source_img,
                        source_code, params_source, angles_source,
-                       make_fallback, generate_grid_image, mesh=None):
+                       make_fallback, outputs_mode="grid", mesh=None):
     """The fused target loop: raw (detect-width) frames upload as uint8,
     ONE device program per chunk (detect → crop → reenact,
-    `pipeline/reenactment.py::reenact_raw_batch`), outputs download as
-    uint8. Host uploads are prefetched 3 chunks deep (the unfused loop
-    overlapped exactly one), downloads start asynchronously the moment a
-    chunk's program is dispatched, and the host-side work for chunk i
-    (PNG saves, grid assembly, the rare out-of-frame fallback) runs while
-    the device computes chunk i+1 — a 3-stage software pipeline. Frames
+    `pipeline/reenactment.py::reenact_raw_batch`), and ONE reduced u8
+    output buffer downloads per chunk — the [crop|reenacted] grid row
+    composed on device (``outputs_mode='grid'``; the constant source cell
+    is prepended host-side once) or just the reenacted frames
+    (``'reenact'``, half the payload, when no grid artifact is
+    requested). Host uploads are prefetched 3 chunks deep (the unfused
+    loop overlapped exactly one), downloads start asynchronously the
+    moment a chunk's program is dispatched, and the host-side work for
+    chunk i (PNG saves, the rare out-of-frame fallback) runs while the
+    device computes chunk i+1 — a 3-stage software pipeline. Frames
     whose FFHQ box leaves the frame are re-run through the host-exact
     pad+fade crop + the unfused program (rare: real faces are
     overwhelmingly in-frame)."""
     import jax
+    from ..utils.image_utils import tensor_to_image
 
     bi = args.frame_batch
     chunks = [resized[s:s + bi] for s in range(0, len(resized), bi)]
+    src_raw = tensor_to_image(np.asarray(source_img))
+    src_cell_cache = {}
+
+    def src_cell(h):
+        """Source column resized once to the device grid's cell height
+        (256 in production; sub-256 for test-scale generators)."""
+        if h not in src_cell_cache:
+            if src_raw.shape[:2] != (h, h):
+                from PIL import Image
+                src_cell_cache[h] = np.array(Image.fromarray(src_raw).resize(
+                    (h, h), Image.BILINEAR))
+            else:
+                src_cell_cache[h] = src_raw
+        return src_cell_cache[h]
 
     def upload(chunk):
         arr = np.stack(chunk).astype(np.uint8)
@@ -130,17 +173,24 @@ def _run_targets_fused(args, resized, reenact_fused, source_img,
     futs = {i: pool.submit(upload, chunks[i])
             for i in range(min(depth, len(chunks)))}
 
-    grids = []
+    frames_out = []
     idx = 0
     n_no_face = 0
     fallback = None
 
     def process(chunk, outs):
         nonlocal idx, n_no_face, fallback
-        reen_u8, _lat, crops_u8, ok, in_frame, pts = outs
         n = len(chunk)
-        reen_u8 = np.array(reen_u8)[:n]
-        crops_u8 = np.array(crops_u8)[:n]
+        if outputs_mode == "grid":
+            grid_u8, ok, in_frame, pts = outs
+            grid_u8 = np.array(grid_u8)[:n]          # (n, h, 2h, 3)
+            half = grid_u8.shape[2] // 2
+            crops_u8 = grid_u8[:, :, :half]          # views into the grid:
+            reen_u8 = grid_u8[:, :, half:]           # patching them patches it
+        else:
+            reen_u8, ok, in_frame, pts = outs
+            reen_u8 = np.array(reen_u8)[:n]
+            crops_u8 = None
         ok = np.asarray(ok)[:n]
         in_frame = np.asarray(in_frame)[:n]
         n_no_face += int((~ok).sum())
@@ -153,7 +203,8 @@ def _run_targets_fused(args, resized, reenact_fused, source_img,
                                              pts_np[bad])
             for j, i in enumerate(bad):
                 if ok_f[j]:
-                    crops_u8[i] = crops_f[j]
+                    if crops_u8 is not None:
+                        crops_u8[i] = crops_f[j]
                     reen_u8[i] = reen_f[j]
         for j in range(n):
             if args.save_images:
@@ -161,18 +212,19 @@ def _run_targets_fused(args, resized, reenact_fused, source_img,
                 Image.fromarray(reen_u8[j]).save(
                     os.path.join(args.output_path, f"{idx:06d}.png"))
             if args.save_grid or args.save_video:
-                grid = generate_grid_image(
-                    np.asarray(source_img),
-                    crops_u8[j:j + 1].astype(np.float32) / 127.5 - 1.0,
-                    reen_u8[j:j + 1].astype(np.float32) / 127.5 - 1.0)
+                if outputs_mode == "grid":
+                    frame = np.concatenate(
+                        [src_cell(grid_u8.shape[1]), grid_u8[j]], axis=1)
+                else:
+                    frame = reen_u8[j]
                 if args.save_grid:
                     gdir = os.path.join(args.output_path, "grids")
                     os.makedirs(gdir, exist_ok=True)
                     from PIL import Image
-                    Image.fromarray(grid).save(
+                    Image.fromarray(frame).save(
                         os.path.join(gdir, f"{idx:06d}.png"))
                 if args.save_video:
-                    grids.append(grid)
+                    frames_out.append(frame)
             idx += 1
 
     pending = None
@@ -195,7 +247,7 @@ def _run_targets_fused(args, resized, reenact_fused, source_img,
     pool.shutdown(wait=False)
     if n_no_face:
         print(f"warning: no face detected in {n_no_face} target frame(s)")
-    return grids
+    return frames_out
 
 
 def _load_target_frames(path: str, stride: int):
@@ -278,18 +330,24 @@ def main(argv=None):
     # --- targets, batched -------------------------------------------------
     frames = _load_target_frames(args.target_path, args.video_stride)
     print(f"Run reenactment for {len(frames)} frames")
-    fb = effective_frame_batch(args.frame_batch, g["meta"]["size"])
+    # mesh divisibility is checked against the USER's frame_batch first, so
+    # the error cites the value they set; the 1024 tiling-pathology override
+    # then rounds up in multiples of n_devices (divisibility preserved)
+    n_dev = args.n_devices or 1
+    mesh = None
+    if n_dev > 1:
+        if args.frame_batch % n_dev:
+            raise ValueError("--n_devices must divide --frame_batch")
+        from ..parallel import make_mesh
+        mesh = make_mesh(n_dev)
+    fb = effective_frame_batch(args.frame_batch, g["meta"]["size"], n_dev)
     if fb != args.frame_batch:
         print(f"frame_batch {args.frame_batch} at "
               f"{g['meta']['size']} hits a measured XLA tiling pathology "
               f"(PERF.md); padding batches to {fb}")
         args.frame_batch = fb
-    mesh = None
-    if args.n_devices is not None and args.n_devices > 1:
-        from ..parallel import make_mesh
-        mesh = make_mesh(args.n_devices)
-        if args.frame_batch % args.n_devices:
-            raise ValueError("--n_devices must divide --frame_batch")
+    compute_dtype = (jnp.bfloat16 if args.compute_dtype == "bfloat16"
+                     else jnp.float32)
 
     # fused fast path (default): detect → crop → reenact as ONE device
     # program per chunk, uint8 both ways, no host sync inside the chunk
@@ -305,11 +363,17 @@ def main(argv=None):
             use_fused = False  # mixed frame shapes: bucketed unfused path
     if use_fused:
         from ..pipeline import make_fused_reenact_fn
+        # reduced device→host payload: one [crop|reenacted] u8 grid row
+        # when any grid artifact is requested, reenacted frames only
+        # otherwise (half the bytes; the crop never crosses the link)
+        need_crops = args.save_grid or (args.save_video
+                                        and args.video_content == "grid")
+        outputs_mode = "grid" if need_crops else "reenact"
         reenact_fused = make_fused_reenact_fn(
             g_src, a, deca, spec, sfd, fan, truncation=0.7,
             truncation_latent=trunc, fan_params=fan_deca,
             s3fd_params=sfd_deca, reuse_landmarks=args.reuse_landmarks,
-            output_u8=True, mesh=mesh)
+            compute_dtype=compute_dtype, outputs=outputs_mode, mesh=mesh)
 
         def make_fallback():
             # host-exact pad+blur+fade crop + the unfused program, for the
@@ -320,7 +384,7 @@ def main(argv=None):
             reenact_host = make_reenact_fn(
                 g_src, a, deca, spec, truncation=0.7,
                 truncation_latent=trunc, fan_params=fan_deca,
-                s3fd_params=sfd_deca)
+                s3fd_params=sfd_deca, compute_dtype=compute_dtype)
 
             def fb(frames_list, lms):
                 crops, cok = crop_using_landmarks_batch(
@@ -336,20 +400,22 @@ def main(argv=None):
 
             return fb
 
-        grids = _run_targets_fused(args, resized, reenact_fused, source_img,
-                                   source_code, params_source,
-                                   angles_source, make_fallback,
-                                   generate_grid_image, mesh=mesh)
-        if args.save_video and grids:
+        frames_out = _run_targets_fused(args, resized, reenact_fused,
+                                        source_img, source_code,
+                                        params_source, angles_source,
+                                        make_fallback,
+                                        outputs_mode=outputs_mode, mesh=mesh)
+        if args.save_video and frames_out:
             from ..native.imgproc import generate_video
-            generate_video(grids, os.path.join(args.output_path,
-                                               "generated_video.mp4"))
+            generate_video(frames_out, os.path.join(args.output_path,
+                                                    "generated_video.mp4"))
         print("done")
         return
 
     reenact = make_reenact_fn(g_src, a, deca, spec, truncation=0.7,
                               truncation_latent=trunc, fan_params=fan_deca,
                               s3fd_params=sfd_deca, mesh=mesh,
+                              compute_dtype=compute_dtype,
                               reuse_landmarks=args.reuse_landmarks)
 
     grids = []
@@ -384,7 +450,9 @@ def main(argv=None):
             if args.save_images:
                 save_image(reenacted[j],
                            os.path.join(args.output_path, f"{idx:06d}.png"))
-            if args.save_grid or args.save_video:
+            need_grid = args.save_grid or (args.save_video
+                                           and args.video_content == "grid")
+            if need_grid:
                 grid = generate_grid_image(np.asarray(source_img),
                                            tgt_batch[j:j + 1],
                                            reenacted[j:j + 1])
@@ -394,7 +462,11 @@ def main(argv=None):
                     from PIL import Image
                     Image.fromarray(grid).save(
                         os.path.join(gdir, f"{idx:06d}.png"))
-                if args.save_video:
+            if args.save_video:
+                if args.video_content == "reenact":
+                    from ..utils.image_utils import tensor_to_image
+                    grids.append(tensor_to_image(reenacted[j]))
+                else:
                     grids.append(grid)
             idx += 1
     pool.shutdown(wait=False)

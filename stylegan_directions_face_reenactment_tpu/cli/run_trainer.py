@@ -48,6 +48,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "frame (no detector pass), 'resize' = plain "
                         "bilinear (fastest)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--grad_accum", type=int, default=None,
+                   help="gradient-accumulation microbatches per step: "
+                        "grads averaged, ONE Adam update — identical "
+                        "optimizer semantics, every compiled program at "
+                        "batch_size/grad_accum shape. Default: 1, except "
+                        "batch 24/48 auto-select 2/3 to dodge the measured "
+                        "XLA:TPU runtime fault at those shapes (PERF.md; "
+                        "tools/repro_batch24_fault.py)")
     p.add_argument("--train_compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="synthesis compute dtype inside the train step")
@@ -116,13 +124,20 @@ def main(argv=None):
         cache_gt_shape=args_ns.cache_gt_shape,
         remat=args_ns.remat,
         evaluation=not args_ns.no_evaluation,
+        grad_accum=args_ns.grad_accum or 1,
     )
-    if targs.batch_size in (24, 48):
-        # measured, reproducible runtime fault at these shapes — remat or
-        # not, while 16 and 32 run fine (PERF.md training batch sweep)
-        print(f"warning: batch_size {targs.batch_size} reproducibly faults "
-              "the XLA:TPU runtime on v5e (kernel fault, not memory — see "
-              "PERF.md); use 16 or 32")
+    if args_ns.grad_accum is None and targs.batch_size in (24, 48):
+        # batch 24/48 reproducibly fault the XLA:TPU runtime on v5e (kernel
+        # fault, not memory — PERF.md training batch sweep;
+        # tools/repro_batch24_fault.py). Auto-microbatch to known-good
+        # shapes (24 → 2×12, 48 → 3×16) with identical Adam semantics
+        # (steps.make_accum_step); --grad_accum 1 forces monolithic.
+        targs.grad_accum = {24: 2, 48: 3}[targs.batch_size]
+        print(f"batch_size {targs.batch_size} hits a measured XLA:TPU "
+              f"runtime fault at this shape (PERF.md); microbatching as "
+              f"{targs.grad_accum}x{targs.batch_size // targs.grad_accum} "
+              "with identical optimizer semantics (--grad_accum 1 to force "
+              "the monolithic step)")
 
     g = load_generator(targs.dataset_type, random_init=args_ns.random_init,
                        resolution=targs.image_resolution)

@@ -44,6 +44,12 @@ class TrainingArguments:
     lr: float = 1e-4
     weight_decay: float = 5e-4
     batch_size: int = 12
+    # gradient-accumulation microbatching: split each batch into this many
+    # microbatches, average grads, ONE Adam update — identical optimizer
+    # semantics (every loss is batch-mean-reduced), every compiled program
+    # at microbatch shape (dodges the measured XLA:TPU fault at batch
+    # 24/48; PERF.md, steps.make_accum_step)
+    grad_accum: int = 1
     test_batch_size: int = 4
     n_steps: int = 100_000
 

@@ -186,7 +186,8 @@ def reenact_raw_batch(g_params: Params, a_params: Params, deca_params: Params,
                       fan_params: Optional[Params] = None,
                       s3fd_params: Optional[Params] = None,
                       reuse_landmarks: bool = False,
-                      output_u8: bool = False):
+                      output_u8: bool = False,
+                      outputs: str = "full"):
     """The WHOLE per-frame path as one program: raw frames in, reenacted
     faces out. Fuses the preprocessing stage (SFD detect → FAN landmarks →
     FFHQ crop, `utils_inference.py:61-82`) with the reenactment program
@@ -198,14 +199,25 @@ def reenact_raw_batch(g_params: Params, a_params: Params, deca_params: Params,
     raw_frames: (T, H, W, 3) uint8/float RGB at the detection resolution
     (the host only rescales to the detect width and uploads uint8).
 
-    Returns (reenacted (T, s, s, 3), latents, crops_u8 (T, crop, crop, 3)
-    uint8, ok (T,), in_frame (T,), landmarks (T, 68, 2)). ``in_frame``
-    is False where the FFHQ box leaves the frame — those crops are
-    APPROXIMATE (edge-clamped resample instead of the reference's
-    reflect-pad+blur+fade) and the caller re-runs them through the host
-    path. ``output_u8``: return the reenacted images as uint8 in [0, 255]
-    (4× smaller host downloads over thin links; saving to disk quantizes
-    identically).
+    ``outputs`` selects what crosses the host link (the usual bottleneck
+    on tunneled/thin links — PERF.md e2e-video analysis):
+      * "full" — (reenacted (T, s, s, 3), latents, crops_u8
+        (T, crop, crop, 3) uint8, ok (T,), in_frame (T,), landmarks
+        (T, 68, 2));
+      * "grid" — ([crop|reenacted] u8 grid (T, crop, 2·crop, 3), ok,
+        in_frame, landmarks): the per-frame video-grid row composed ON
+        DEVICE, ONE u8 download per chunk (the constant source cell is
+        prepended host-side once); implies uint8;
+      * "reenact" — (reenacted u8, ok, in_frame, landmarks): no crop
+        download at all — halves the payload when only the reenacted
+        frames are saved; implies uint8.
+
+    ``in_frame`` is False where the FFHQ box leaves the frame — those
+    crops are APPROXIMATE (edge-clamped resample instead of the
+    reference's reflect-pad+blur+fade) and the caller re-runs them
+    through the host path. ``output_u8``: return the reenacted images as
+    uint8 in [0, 255] (4× smaller host downloads over thin links; saving
+    to disk quantizes identically).
     """
     from ..models.face.cropping import ffhq_crop_device, landmarks_in_crop
     from ..models.face.landmarks import estimate_landmarks
@@ -230,12 +242,25 @@ def reenact_raw_batch(g_params: Params, a_params: Params, deca_params: Params,
             params_source, angles_source, crops_gan,
             fan_params=fan_params, s3fd_params=s3fd_params, **kw)
     crops_u8 = crops.astype(jnp.uint8)   # already integer-valued [0,255]
-    if output_u8:
+    if output_u8 or outputs in ("grid", "reenact"):
         # round-half-up, the same inter-pass quantization as the device
         # crop (`cropping.py::q8`); the host float path truncates
         # (`tensor_to_image`) — ≤1 intensity-unit deviation, documented
         reenacted = jnp.floor(jnp.clip((reenacted + 1.0) * 127.5,
                                        0.0, 255.0) + 0.5).astype(jnp.uint8)
+    if outputs == "grid":
+        reen_cell = reenacted
+        if reen_cell.shape[1:3] != crops_u8.shape[1:3]:
+            # sub-256 test-scale generators: bilinear-resize the reenacted
+            # cell to the crop size like the host grid (`generate_grid_image`)
+            reen_cell = jnp.clip(jnp.round(jax.image.resize(
+                reen_cell.astype(jnp.float32),
+                (reen_cell.shape[0],) + crops_u8.shape[1:3] + (3,),
+                "bilinear")), 0, 255).astype(jnp.uint8)
+        grid = jnp.concatenate([crops_u8, reen_cell], axis=2)
+        return grid, ok, in_frame, pts
+    if outputs == "reenact":
+        return reenacted, ok, in_frame, pts
     return reenacted, latents, crops_u8, ok, in_frame, pts
 
 
@@ -250,10 +275,12 @@ def make_fused_reenact_fn(g_params: Params, a_params: Params,
                           fan_params: Optional[Params] = None,
                           s3fd_params: Optional[Params] = None,
                           reuse_landmarks: bool = False,
-                          output_u8: bool = False, mesh=None):
+                          output_u8: bool = False, mesh=None,
+                          outputs: str = "full"):
     """Jitted fused pipeline: (source_code, params_source, angles_source,
-    raw_frames) → (reenacted, latents, crops_u8, ok, in_frame, landmarks).
-    See :func:`reenact_raw_batch`. ``mesh`` shards the raw-frame batch on
+    raw_frames) → (reenacted, latents, crops_u8, ok, in_frame, landmarks)
+    — or the reduced "grid"/"reenact" output sets (see
+    :func:`reenact_raw_batch`). ``mesh`` shards the raw-frame batch on
     axis 0 (frame data parallelism) with the weights replicated."""
     from ..train.steps import merge_statics, strip_statics
 
@@ -270,7 +297,8 @@ def make_fused_reenact_fn(g_params: Params, a_params: Params,
             truncation=truncation, truncation_latent=trunc,
             num_layers_shift=num_layers_shift, compute_dtype=compute_dtype,
             fan_params=fan, s3fd_params=sfd,
-            reuse_landmarks=reuse_landmarks, output_u8=output_u8)
+            reuse_landmarks=reuse_landmarks, output_u8=output_u8,
+            outputs=outputs)
 
     place_batch = None
     if mesh is not None:

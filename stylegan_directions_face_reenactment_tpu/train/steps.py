@@ -207,12 +207,31 @@ def _batch_constrainer(mesh):
     return lambda x: jax.lax.with_sharding_constraint(x, s)
 
 
+def _loss_grads_update(tx, grads_only, loss_fn_t, trainable, opt_state):
+    """Shared step tail: grads, then (unless ``grads_only``) the Adam
+    update. ``grads_only`` returns ``(loss_dict, grads)`` for the
+    accumulation wrapper; grad_norm is added at finalize there."""
+    (loss, loss_dict), grads = jax.value_and_grad(
+        loss_fn_t, has_aux=True)(trainable)
+    if grads_only:
+        return loss_dict, grads
+    # gradient observability (the reference's wandb.watch,
+    # `libs/trainer.py:123-133`): global L2 norm of the A-matrix grads
+    loss_dict["grad_norm"] = optax.global_norm(grads)
+    updates, opt_state = tx.update(grads, opt_state, trainable)
+    trainable = optax.apply_updates(trainable, updates)
+    return trainable, opt_state, loss_dict
+
+
 def make_synthetic_step(models: FrozenModels, spec: DirectionsSpec,
                         args: TrainingArguments,
                         tx: optax.GradientTransformation,
-                        mesh=None) -> Callable:
+                        mesh=None, grads_only: bool = False) -> Callable:
     """`Trainer.train()` step (`trainer.py:151-189`): z-sampled source and
-    target, losses vs the source image + gt-reenacted shape."""
+    target, losses vs the source image + gt-reenacted shape.
+
+    ``grads_only``: return ``(loss_dict, grads)`` instead of applying the
+    optimizer — the per-microbatch program of :func:`make_accum_step`."""
     lambdas = _lambdas(args)
     models_arrays, models_statics = strip_statics(models)
     constrain = _batch_constrainer(mesh)
@@ -279,20 +298,19 @@ def make_synthetic_step(models: FrozenModels, spec: DirectionsSpec,
             imgs_shifted, _ = _maybe_remat(args, synth)(shift)
             return _maybe_remat(args, shape_and_losses)(imgs_shifted)
 
-        (loss, loss_dict), grads = jax.value_and_grad(
-            loss_fn_t, has_aux=True)(trainable)
-        # gradient observability (the reference's wandb.watch,
-        # `libs/trainer.py:123-133`): global L2 norm of the A-matrix grads
-        loss_dict["grad_norm"] = optax.global_norm(grads)
-        updates, opt_state = tx.update(grads, opt_state, trainable)
-        trainable = optax.apply_updates(trainable, updates)
-        return trainable, opt_state, loss_dict
+        return _loss_grads_update(tx, grads_only, loss_fn_t, trainable,
+                                  opt_state)
 
-    def step(a_params: Params, opt_state, rng, *extra):
-        trainable, rebuild = split_a(a_params)
-        trainable, opt_state, loss_dict = _step(trainable, opt_state, rng,
-                                                models_arrays, *extra)
-        return rebuild(trainable), opt_state, loss_dict
+    if grads_only:
+        def step(a_params: Params, rng, *extra):
+            return _step(split_a(a_params)[0], None, rng, models_arrays,
+                         *extra)
+    else:
+        def step(a_params: Params, opt_state, rng, *extra):
+            trainable, rebuild = split_a(a_params)
+            trainable, opt_state, loss_dict = _step(trainable, opt_state, rng,
+                                                    models_arrays, *extra)
+            return rebuild(trainable), opt_state, loss_dict
 
     return step
 
@@ -301,7 +319,8 @@ def make_real_step(models: FrozenModels, spec: DirectionsSpec,
                    args: TrainingArguments,
                    tx: optax.GradientTransformation,
                    synthetic_half: bool = False, mesh=None,
-                   cached_shape: bool = False) -> Callable:
+                   cached_shape: bool = False,
+                   grads_only: bool = False) -> Callable:
     """`Trainer.train_real()` step (`trainer.py:247-308`): source = real
     inverted W+ codes (+ optional synthetic half for 'real_synthetic'),
     target = random z.
@@ -391,14 +410,8 @@ def make_real_step(models: FrozenModels, spec: DirectionsSpec,
             imgs_shifted, _ = _maybe_remat(args, synth)(shift)
             return _maybe_remat(args, shape_and_losses)(imgs_shifted)
 
-        (loss, loss_dict), grads = jax.value_and_grad(
-            loss_fn_t, has_aux=True)(trainable)
-        # gradient observability (the reference's wandb.watch,
-        # `libs/trainer.py:123-133`): global L2 norm of the A-matrix grads
-        loss_dict["grad_norm"] = optax.global_norm(grads)
-        updates, opt_state = tx.update(grads, opt_state, trainable)
-        trainable = optax.apply_updates(trainable, updates)
-        return trainable, opt_state, loss_dict
+        return _loss_grads_update(tx, grads_only, loss_fn_t, trainable,
+                                  opt_state)
 
     if cached_shape:
         @jax.jit
@@ -413,11 +426,16 @@ def make_real_step(models: FrozenModels, spec: DirectionsSpec,
             return _step_body(trainable, opt_state, rng, models_arrays,
                               source_w, source_real_img)
 
-    def step(a_params: Params, opt_state, rng, *extra):
-        trainable, rebuild = split_a(a_params)
-        trainable, opt_state, loss_dict = _step(trainable, opt_state, rng,
-                                                models_arrays, *extra)
-        return rebuild(trainable), opt_state, loss_dict
+    if grads_only:
+        def step(a_params: Params, rng, *extra):
+            return _step(split_a(a_params)[0], None, rng, models_arrays,
+                         *extra)
+    else:
+        def step(a_params: Params, opt_state, rng, *extra):
+            trainable, rebuild = split_a(a_params)
+            trainable, opt_state, loss_dict = _step(trainable, opt_state, rng,
+                                                    models_arrays, *extra)
+            return rebuild(trainable), opt_state, loss_dict
 
     return step
 
@@ -425,7 +443,8 @@ def make_real_step(models: FrozenModels, spec: DirectionsSpec,
 def make_paired_step(models: FrozenModels, spec: DirectionsSpec,
                      args: TrainingArguments,
                      tx: optax.GradientTransformation, mesh=None,
-                     cached_shape: bool = False) -> Callable:
+                     cached_shape: bool = False,
+                     grads_only: bool = False) -> Callable:
     """`Trainer.train_paired()` step (`trainer.py:349-397`): same-video
     source/target frame pairs; losses vs the real target frame.
 
@@ -486,14 +505,8 @@ def make_paired_step(models: FrozenModels, spec: DirectionsSpec,
             return _maybe_remat(args, shape_and_losses)(imgs_shifted,
                                                         shifted_latents)
 
-        (loss, loss_dict), grads = jax.value_and_grad(
-            loss_fn_t, has_aux=True)(trainable)
-        # gradient observability (the reference's wandb.watch,
-        # `libs/trainer.py:123-133`): global L2 norm of the A-matrix grads
-        loss_dict["grad_norm"] = optax.global_norm(grads)
-        updates, opt_state = tx.update(grads, opt_state, trainable)
-        trainable = optax.apply_updates(trainable, updates)
-        return trainable, opt_state, loss_dict
+        return _loss_grads_update(tx, grads_only, loss_fn_t, trainable,
+                                  opt_state)
 
     if cached_shape:
         @jax.jit
@@ -511,10 +524,91 @@ def make_paired_step(models: FrozenModels, spec: DirectionsSpec,
             return _step_body(trainable, opt_state, models_arrays, source_w,
                               target_w, target_img, source_img=source_img)
 
+    if grads_only:
+        def step(a_params: Params, rng, *extra):
+            return inner(split_a(a_params)[0], None, rng, models_arrays,
+                         *extra)
+    else:
+        def step(a_params: Params, opt_state, rng, *extra):
+            trainable, rebuild = split_a(a_params)
+            trainable, opt_state, loss_dict = inner(trainable, opt_state, rng,
+                                                    models_arrays, *extra)
+            return rebuild(trainable), opt_state, loss_dict
+
+    return step
+
+
+def make_accum_step(builder: Callable, models: FrozenModels,
+                    spec: DirectionsSpec, args: TrainingArguments,
+                    tx: optax.GradientTransformation,
+                    n_micro: Optional[int] = None, **builder_kw) -> Callable:
+    """Gradient-accumulation microbatching around any step builder.
+
+    Splits each batch into ``n_micro`` microbatches (default
+    ``args.grad_accum``), runs the builder's grads-only program per
+    microbatch, AVERAGES the grads, and applies ONE Adam update — the
+    optimizer semantics are identical to the monolithic step because every
+    loss in the stack is mean-reduced over the batch
+    (`losses_stack.py`; mean of equal-size microbatch means == full-batch
+    mean), pinned by `test_trainer_e2e.py::test_accum_step_matches_monolithic`.
+
+    Every compiled program runs at MICROBATCH shape, which is how
+    `run_trainer --batch_size 24/48` dodges the measured XLA:TPU runtime
+    fault at those batch shapes (PERF.md training batch sweep;
+    `tools/repro_batch24_fault.py` is the minimal upstream repro): 24 → 2×12,
+    48 → 3×16 — both known-good shapes.
+
+    In-step randomness (synthetic/real z draws, disentanglement-50
+    direction picks) uses an independent fold of the step rng per
+    microbatch — distributionally identical to the monolithic step, not
+    bit-identical (the paired method has no in-step randomness and matches
+    to float tolerance)."""
+    import dataclasses
+
+    n_micro = int(n_micro if n_micro is not None
+                  else getattr(args, "grad_accum", 1))
+    if n_micro <= 1:
+        return builder(models, spec, args, tx, **builder_kw)
+    if args.batch_size % n_micro:
+        raise ValueError(f"grad_accum {n_micro} must divide batch_size "
+                         f"{args.batch_size}")
+    mb_args = dataclasses.replace(args, batch_size=args.batch_size // n_micro,
+                                  grad_accum=1)
+    grad_step = builder(models, spec, mb_args, tx, grads_only=True,
+                        **builder_kw)
+
+    @jax.jit
+    def _add(a, b):
+        return jax.tree_util.tree_map(jnp.add, a, b)
+
+    @jax.jit
+    def _finalize(trainable, opt_state, gsum, ldsum):
+        grads = jax.tree_util.tree_map(lambda x: x / n_micro, gsum)
+        loss_dict = {k: v / n_micro for k, v in ldsum.items()}
+        loss_dict["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        return optax.apply_updates(trainable, updates), opt_state, loss_dict
+
+    def _slice(tree, i):
+        def f(x):
+            k, rem = divmod(x.shape[0], n_micro)
+            if rem:
+                raise ValueError(
+                    f"batch axis {x.shape[0]} not divisible by grad_accum "
+                    f"{n_micro}")
+            return x[i * k:(i + 1) * k]
+        return jax.tree_util.tree_map(f, tree)
+
     def step(a_params: Params, opt_state, rng, *extra):
         trainable, rebuild = split_a(a_params)
-        trainable, opt_state, loss_dict = inner(trainable, opt_state, rng,
-                                                models_arrays, *extra)
+        keys = jax.random.split(rng, n_micro)
+        gsum = ldsum = None
+        for i in range(n_micro):
+            ld, g = grad_step(a_params, keys[i], *_slice(extra, i))
+            gsum = g if gsum is None else _add(gsum, g)
+            ldsum = ld if ldsum is None else _add(ldsum, ld)
+        trainable, opt_state, loss_dict = _finalize(trainable, opt_state,
+                                                    gsum, ldsum)
         return rebuild(trainable), opt_state, loss_dict
 
     return step

@@ -34,8 +34,8 @@ from ..models.direction_matrix import init_direction_matrix
 from ..parallel.mesh import replicate, shard_batch
 from .checkpoints import save_a_matrix, start_from_checkpoint
 from .eval import extract_evaluation_metrics
-from .steps import (FrozenModels, make_optimizer, make_paired_step,
-                    make_real_step, make_synthetic_step)
+from .steps import (FrozenModels, make_accum_step, make_optimizer,
+                    make_paired_step, make_real_step, make_synthetic_step)
 
 Params = Dict[str, Any]
 
@@ -71,6 +71,22 @@ class Trainer:
 
         self.tx = make_optimizer(args)
         self.metrics_log: list = []
+        n_micro = int(getattr(args, "grad_accum", 1) or 1)
+        if n_micro > 1 and args.batch_size % n_micro:
+            raise ValueError(f"grad_accum {n_micro} must divide batch_size "
+                             f"{args.batch_size}")
+
+    def _make_step(self, builder, **kw):
+        """Build the method's step — through the gradient-accumulation
+        wrapper when args.grad_accum > 1 (identical Adam semantics, every
+        program at microbatch shape; steps.make_accum_step)."""
+        n_micro = int(getattr(self.args, "grad_accum", 1) or 1)
+        if n_micro > 1:
+            return make_accum_step(builder, self.models, self.spec,
+                                   self.args, self.tx, n_micro,
+                                   mesh=self.mesh, **kw)
+        return builder(self.models, self.spec, self.args, self.tx,
+                       mesh=self.mesh, **kw)
 
     # ------------------------------------------------------------------
     def _init_a(self, rng) -> Params:
@@ -340,8 +356,7 @@ class Trainer:
         a_params = self._rep(a_params)
         from .steps import split_a
         opt_state = self.tx.init(split_a(a_params)[0])
-        step_fn = make_synthetic_step(self.models, self.spec, self.args,
-                                      self.tx, mesh=self.mesh)
+        step_fn = self._make_step(make_synthetic_step)
         losses = []
         total = n_steps if n_steps is not None else self.args.n_steps
         for step in range(start_step, total):
@@ -372,9 +387,9 @@ class Trainer:
         synthetic_half = args.training_method == "real_synthetic"
         batch_local = args.batch_size // 2 if synthetic_half else args.batch_size
         use_cache = bool(getattr(args, "cache_gt_shape", True))
-        step_fn = make_real_step(self.models, self.spec, args, self.tx,
-                                 synthetic_half=synthetic_half, mesh=self.mesh,
-                                 cached_shape=use_cache)
+        step_fn = self._make_step(make_real_step,
+                                  synthetic_half=synthetic_half,
+                                  cached_shape=use_cache)
         if use_cache:
             from .steps import make_shape_program
             shape_fn = make_shape_program(self.models, args)
@@ -472,8 +487,7 @@ class Trainer:
         from .steps import make_shape_program, split_a
         opt_state = self.tx.init(split_a(a_params)[0])
         use_cache = bool(getattr(args, "cache_gt_shape", True))
-        step_fn = make_paired_step(self.models, self.spec, args, self.tx,
-                                   mesh=self.mesh, cached_shape=use_cache)
+        step_fn = self._make_step(make_paired_step, cached_shape=use_cache)
         shape_fn = make_shape_program(self.models, args) if use_cache else None
         shape_cache: Dict[str, Any] = {}
 

@@ -118,13 +118,12 @@ def test_run_targets_fused_loop_mechanics(tmp_path):
     """The CLI fused target loop (`cli/run_inference.py::_run_targets_fused`)
     with a stub program: chunk padding, 3-deep prefetch ordering, the
     out-of-frame host-fallback routing, and artifact emission — without
-    compiling any model."""
+    compiling any model. Device-grid mode: the program returns the
+    [crop|reenacted] row; the loop prepends the constant source cell."""
     import argparse
 
     from stylegan_directions_face_reenactment_tpu.cli.run_inference import (
         _run_targets_fused)
-    from stylegan_directions_face_reenactment_tpu.utils.image_utils import (
-        generate_grid_image)
 
     n_frames, bi, s = 7, 3, 32
     rng = np.random.RandomState(0)
@@ -144,11 +143,12 @@ def test_run_targets_fused_loop_mechanics(tmp_path):
         b = dev.shape[0]
         reen = np.full((b, s, s, 3), 100, np.uint8)
         crops = dev
+        grid = np.concatenate([crops, reen], axis=2)   # (b, s, 2s, 3)
         ok = np.ones(b, bool)
         in_frame = np.ones(b, bool)
         in_frame[0] = False                 # frame 0 of each chunk → fallback
         pts = np.zeros((b, 68, 2), np.float32)
-        return reen, None, crops, ok, in_frame, pts
+        return grid, ok, in_frame, pts
 
     fb_calls = []
 
@@ -160,12 +160,13 @@ def test_run_targets_fused_loop_mechanics(tmp_path):
             return crops, reen, np.ones(len(frames_list), bool)
         return fb
 
-    grids = _run_targets_fused(args, resized, stub_fused, source_img,
-                               None, None, None, make_fallback,
-                               generate_grid_image)
+    frames_out = _run_targets_fused(args, resized, stub_fused, source_img,
+                                    None, None, None, make_fallback,
+                                    outputs_mode="grid")
     assert len(calls) == 3                  # ceil(7/3) chunks
     assert fb_calls == [1, 1, 1]            # one fallback frame per chunk
-    assert len(grids) == n_frames
+    assert len(frames_out) == n_frames
+    assert frames_out[0].shape == (s, 3 * s, 3)   # [source|crop|reenacted]
     import glob as _glob
     pngs = sorted(_glob.glob(str(tmp_path / ("[0-9]" * 6 + ".png"))))
     assert len(pngs) == n_frames
@@ -175,6 +176,44 @@ def test_run_targets_fused_loop_mechanics(tmp_path):
     assert np.asarray(Image.open(pngs[1]))[0, 0, 0] == 100
     gpngs = sorted(_glob.glob(str(tmp_path / "grids" / "*.png")))
     assert len(gpngs) == n_frames
+    # the video-grid frame embeds the reenacted cell in its third column
+    # (patched to 200 on the fallback frame) and the crop in its second
+    assert frames_out[0][0, 2 * s, 0] == 200
+    assert frames_out[1][0, 2 * s, 0] == 100
+    np.testing.assert_array_equal(frames_out[1][:, s:2 * s], resized[1])
+
+
+def test_run_targets_fused_reenact_mode(tmp_path):
+    """outputs_mode='reenact': the loop consumes the reduced output set
+    (no crops cross the link) and the video frames are the reenacted
+    images themselves."""
+    import argparse
+
+    from stylegan_directions_face_reenactment_tpu.cli.run_inference import (
+        _run_targets_fused)
+
+    n_frames, bi, s = 5, 2, 32
+    rng = np.random.RandomState(1)
+    resized = [rng.randint(0, 256, (s, s, 3)).astype(np.uint8)
+               for _ in range(n_frames)]
+    args = argparse.Namespace(
+        frame_batch=bi, save_images=False, save_grid=False, save_video=True,
+        output_path=str(tmp_path))
+    source_img = rng.rand(1, s, s, 3).astype(np.float32) * 2 - 1
+
+    def stub_fused(code, ps, ang, dev):
+        b = np.asarray(dev).shape[0]
+        reen = np.full((b, s, s, 3), 77, np.uint8)
+        return (reen, np.ones(b, bool), np.ones(b, bool),
+                np.zeros((b, 68, 2), np.float32))
+
+    frames_out = _run_targets_fused(args, resized, stub_fused, source_img,
+                                    None, None, None,
+                                    lambda: (lambda fr, lm: None),
+                                    outputs_mode="reenact")
+    assert len(frames_out) == n_frames
+    assert frames_out[0].shape == (s, s, 3)
+    assert (frames_out[0] == 77).all()
 
 
 def test_fused_output_u8(zoo, source, frames):
@@ -193,3 +232,37 @@ def test_fused_output_u8(zoo, source, frames):
     want = np.floor(np.clip((np.asarray(reen_f) + 1.0) * 127.5,
                             0, 255) + 0.5).astype(np.uint8)
     np.testing.assert_array_equal(np.asarray(reen_u8), want)
+
+
+def test_fused_reduced_outputs(zoo, source, frames):
+    """outputs='grid'/'reenact' (the CLI's reduced-payload modes) carry
+    exactly the full mode's u8 images: grid = [crop|reenacted] on axis 2,
+    reenact = the reenacted frames alone. crop_size is set to the test
+    generator's size so the equal-size concat path (the production case:
+    both cells 256) is what's exercised."""
+    g, a, deca, trunc, sfd, fan, spec = zoo
+    code, params, angles = source
+    kw = dict(truncation_latent=trunc, crop_size=SIZE)
+    full = make_fused_reenact_fn(g, a, deca, spec, sfd, fan, output_u8=True,
+                                 **kw)
+    reen_u8, _lat, crops_u8, ok, inf, pts = full(code, params, angles,
+                                                 jnp.asarray(frames))
+
+    grid_fn = make_fused_reenact_fn(g, a, deca, spec, sfd, fan,
+                                    outputs="grid", **kw)
+    grid, ok_g, inf_g, pts_g = grid_fn(code, params, angles,
+                                       jnp.asarray(frames))
+    assert grid.dtype == jnp.uint8
+    want = np.concatenate([np.asarray(crops_u8), np.asarray(reen_u8)],
+                          axis=2)
+    np.testing.assert_array_equal(np.asarray(grid), want)
+    np.testing.assert_array_equal(np.asarray(ok_g), np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(inf_g), np.asarray(inf))
+
+    reen_fn = make_fused_reenact_fn(g, a, deca, spec, sfd, fan,
+                                    outputs="reenact", **kw)
+    r, ok_r, inf_r, pts_r = reen_fn(code, params, angles,
+                                    jnp.asarray(frames))
+    np.testing.assert_array_equal(np.asarray(r), np.asarray(reen_u8))
+    np.testing.assert_allclose(np.asarray(pts_r), np.asarray(pts),
+                               atol=1e-5)

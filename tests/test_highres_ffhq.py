@@ -184,3 +184,10 @@ def test_effective_frame_batch_guards_1024_pathology():
         assert effective_frame_batch(fb, 1024) == fb
     for fb in (1, 4, 16):
         assert effective_frame_batch(fb, 256) == fb
+    # with a mesh the override keeps divisibility: next multiple of
+    # n_devices >= 8 (a user's valid --frame_batch 6 --n_devices 3 must
+    # not be rewritten to something 3 no longer divides)
+    assert effective_frame_batch(6, 1024, n_devices=3) == 9
+    assert effective_frame_batch(4, 1024, n_devices=4) == 8
+    assert effective_frame_batch(6, 1024, n_devices=2) == 8
+    assert effective_frame_batch(16, 1024, n_devices=4) == 16
