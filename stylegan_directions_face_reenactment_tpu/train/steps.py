@@ -572,6 +572,12 @@ def make_accum_step(builder: Callable, models: FrozenModels,
     if args.batch_size % n_micro:
         raise ValueError(f"grad_accum {n_micro} must divide batch_size "
                          f"{args.batch_size}")
+    mesh = builder_kw.get("mesh")
+    if mesh is not None and (args.batch_size // n_micro) % mesh.size:
+        raise ValueError(
+            f"microbatch {args.batch_size // n_micro} "
+            f"(batch_size/grad_accum) must divide the {mesh.size}-device "
+            "mesh for data-parallel training")
     mb_args = dataclasses.replace(args, batch_size=args.batch_size // n_micro,
                                   grad_accum=1)
     grad_step = builder(models, spec, mb_args, tx, grads_only=True,

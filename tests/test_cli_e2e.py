@@ -271,6 +271,30 @@ def test_parity_report_random_init(tmp_path):
         assert rec["n_frames_dropped_no_detection"] == 0
         assert rec["gate"]["tolerance"] == 0.01
         assert set(rec["gate"]["checks"]) == {"csim", "pose", "exp"}
+        assert rec["compute_dtype"] == "float32"
+
+
+def test_parity_report_bf16(tmp_path):
+    """--compute_dtype bfloat16: the reenact program under test runs at
+    the benched serving dtype while the metric programs stay f32 — the
+    report is labeled with the dtype so serving-drift runs are
+    distinguishable (r4 VERDICT #2b)."""
+    if not MP4S:
+        pytest.skip("no bundled mp4")
+    import json
+    from stylegan_directions_face_reenactment_tpu.cli.parity_report import (
+        main)
+    out = tmp_path / "report"
+    rep = main(["--target_path", MP4S[0], "--output_path", str(out),
+                "--random_init", "--skip_preprocess",
+                "--deca_alignment", "fan_frame",
+                "--image_resolution", RES, "--frame_batch", "4",
+                "--video_stride", "90", "--no-optimize_generator",
+                "--compute_dtype", "bfloat16"])
+    m = rep["metrics"]
+    assert np.isfinite([m["csim"], m["pose_error_deg"],
+                        m["expression_error"]]).all()
+    assert rep["compute_dtype"] == "bfloat16"
 
 
 def test_extract_statistics_cli(tmp_path):

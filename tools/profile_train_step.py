@@ -3,17 +3,24 @@
 Applies the same cost_analysis discipline as the inference profiles
 (tools/profile_fused.py) to the cached-GT paired step at the measured
 TPU knee (batch 16, PERF.md training batch sweep): per-program FLOPs,
-HBM bytes, measured ms, achieved FLOP/s and the % of the chip's bf16
-peak, for
+HBM bytes, measured ms, achieved FLOP/s and bandwidth, for
 
+  * the full step (value_and_grad + Adam) — the production program,
   * the forward loss evaluation alone (synthesis → DECA alignment+encode
     → FLAME decode + ID + LPIPS + pixel),
-  * the full step (value_and_grad + Adam) — the production program,
+  * fwd+bwd without the optimizer,
   * the cache-fill shape program (first-epoch only, amortized).
 
-The backward share is inferred as full − forward. Run on TPU:
+TIMING METHODOLOGY (validated against physics on the tunneled chip —
+see the in-code notes): programs are timed with chained data
+dependencies or individually-blocked dispatches, the full-step loop
+first, and **cost_analysis is collected only after every timing loop has
+finished** — in several earlier orderings of this same tool the process
+read 20–50× faster than the chip's peak FLOP/s allows (cross-checked:
+a process that times the step loop alone reads 74–78 ms stably and
+scales with n; bench.py agrees).
 
-  python tools/profile_train_step.py [batch] [f32|bf16]
+Run on TPU:  python tools/profile_train_step.py [batch] [f32|bf16]
 """
 
 import os
@@ -22,8 +29,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-PEAK_BF16 = 394e12   # v5e MXU peak (bf16)  — scale reference only
-PEAK_F32 = 197e12    # f32 convs lower via bf16 passes; nominal /2
+PEAK_BF16 = 197e12   # v5e (v5 lite) MXU dense bf16 peak FLOP/s
+HBM_GBPS = 819       # v5e HBM bandwidth
 
 
 def _cost_of(compiled):
@@ -48,6 +55,8 @@ def main():
         TrainingArguments)
     from stylegan_directions_face_reenactment_tpu.geometry import (
         initialize_directions)
+    from stylegan_directions_face_reenactment_tpu.geometry.directions import (
+        make_shift_vector)
     from stylegan_directions_face_reenactment_tpu.losses.lpips import (
         init_lpips_alex)
     from stylegan_directions_face_reenactment_tpu.models import (
@@ -55,12 +64,18 @@ def main():
         n_latent_for)
     from stylegan_directions_face_reenactment_tpu.models.deca import (
         init_deca, synthetic_flame_params)
+    from stylegan_directions_face_reenactment_tpu.models.deca.deca import (
+        calculate_shapemodel)
     from stylegan_directions_face_reenactment_tpu.models.face import (
         init_fan, init_s3fd)
+    from stylegan_directions_face_reenactment_tpu.pipeline.synthesis import (
+        generate_image)
+    from stylegan_directions_face_reenactment_tpu.train.losses_stack import (
+        calculate_losses_paired)
     from stylegan_directions_face_reenactment_tpu.train.steps import (
-        FrozenModels, _lambdas, make_align_fn, make_optimizer,
-        make_paired_step, make_shape_program, merge_statics, split_a,
-        strip_statics)
+        FrozenModels, _a_apply, _compute_dtype, _lambdas, make_align_fn,
+        make_optimizer, make_paired_step, make_shape_program, merge_statics,
+        split_a, strip_statics)
     from stylegan_directions_face_reenactment_tpu.utils.common import jit_build
 
     print(f"devices: {jax.devices()}  batch {batch}  dtype {dtype}")
@@ -81,34 +96,40 @@ def main():
     spec = initialize_directions("voxceleb", 15, 6.0)
     tx = make_optimizer(args)
 
-    a = init_direction_matrix(ks[7], 512, 15, w_plus=True, num_layers=8)
-    n_lat = n_latent_for(256)
-    sw = jax.random.normal(ks[8], (batch, n_lat, 512))
-    tw = jax.random.normal(ks[9], (batch, n_lat, 512))
-    s_img = jax.random.uniform(ks[10], (batch, 256, 256, 3),
-                               minval=-1.0, maxval=1.0)
-    t_img = jax.random.uniform(ks[11], (batch, 256, 256, 3),
-                               minval=-1.0, maxval=1.0)
-
+    step = make_paired_step(models, spec, args, tx, cached_shape=True)
     shape_prog = make_shape_program(models, args)
+    a = init_direction_matrix(ks[7], 512, 15, w_plus=True, num_layers=8)
+    opt = tx.init(split_a(a)[0])
+    n_lat = n_latent_for(256)
+    kk = jax.random.split(ks[8], 4)
+    sw = jax.random.normal(kk[0], (batch, n_lat, 512))
+    tw = jax.random.normal(kk[1], (batch, n_lat, 512))
+    s_img = jax.random.uniform(kk[2], (batch, 256, 256, 3),
+                               minval=-1.0, maxval=1.0)
+    t_img = jax.random.uniform(kk[3], (batch, 256, 256, 3),
+                               minval=-1.0, maxval=1.0)
     p_s, ang_s = shape_prog(s_img)
     p_t, ang_t = shape_prog(t_img)
-    jax.block_until_ready(ang_t)
+    extra = (sw, tw, t_img, p_s, ang_s, p_t, ang_t)
 
-    # ---- forward-only loss program (same math as the step's loss_fn) ----
-    from stylegan_directions_face_reenactment_tpu.models.deca.deca import (
-        calculate_shapemodel)
-    from stylegan_directions_face_reenactment_tpu.pipeline.synthesis import (
-        generate_image)
-    from stylegan_directions_face_reenactment_tpu.train.losses_stack import (
-        calculate_losses_paired)
-    from stylegan_directions_face_reenactment_tpu.geometry.directions import (
-        make_shift_vector)
-    from stylegan_directions_face_reenactment_tpu.train.steps import (
-        _a_apply, _compute_dtype)
+    # ---- full step: chained-optimizer loop (the validated reading) ------
+    a1, o1, ld = step(a, opt, ks[0], *extra)
+    jax.block_until_ready(a1["weight"])
 
+    def run_step(n=32):
+        aa, oo = a, opt
+        t0 = time.perf_counter()
+        for _ in range(n):
+            aa, oo, _ld = step(aa, oo, ks[0], *extra)
+        jax.block_until_ready(aa["weight"])
+        return (time.perf_counter() - t0) / n
+
+    dt_s = run_step()
+
+    # ---- forward-only loss (same math as the step's loss_fn) ------------
     lambdas = _lambdas(args)
     m_arr, m_st = strip_statics(models)
+    a_train, _ = split_a(a)
 
     def fwd(m_arr, a_train, sw, tw, t_img, p_s, ang_s, p_t, ang_t):
         m = merge_statics(m_arr, m_st)
@@ -128,80 +149,56 @@ def main():
             imgs_shifted, t_img, lat, tw)
         return loss
 
-    a_train, _ = split_a(a)
-    fwd_c = jax.jit(fwd).lower(m_arr, a_train, sw, tw, t_img, p_s, ang_s,
-                               p_t, ang_t).compile()
-    fl_f, by_f = _cost_of(fwd_c)
+    fwd_j = jax.jit(fwd)
+    l0 = fwd_j(m_arr, a_train, *extra)
+    jax.block_until_ready(l0)
 
-    def time_it(fn, *a_, iters=12):
-        out = fn(*a_)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
+    def run_singles(fn, iters=10):
+        """Individually-blocked dispatches, median."""
+        ts = []
         for _ in range(iters):
-            out = fn(*a_)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters
+            t0 = time.perf_counter()
+            out = fn()
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
 
-    dt_f = time_it(lambda *a_: fwd_c(*a_), m_arr, a_train, sw, tw, t_img,
-                   p_s, ang_s, p_t, ang_t)
+    dt_f = run_singles(lambda: fwd_j(m_arr, a_train, *extra))
 
-    # ---- full step ------------------------------------------------------
-    step = make_paired_step(models, spec, args, tx, cached_shape=True)
-    opt = tx.init(a_train)
-    a1, o1, ld = step(a, opt, ks[0], sw, tw, t_img, p_s, ang_s, p_t, ang_t)
-    jax.block_until_ready(a1["weight"])
+    def grads(m_arr, a_train, *e):
+        return jax.value_and_grad(lambda at: fwd(m_arr, at, *e))(a_train)
 
-    t0 = time.perf_counter()
-    n = 12
-    aa, oo = a, opt
-    for i in range(n):
-        aa, oo, ld = step(aa, oo, ks[0], sw, tw, t_img, p_s, ang_s, p_t,
-                          ang_t)
-    jax.block_until_ready(aa["weight"])
-    dt_s = (time.perf_counter() - t0) / n
+    grad_j = jax.jit(grads)
+    out = grad_j(m_arr, a_train, *extra)
+    jax.block_until_ready(out[0])
+    dt_g = run_singles(lambda: grad_j(m_arr, a_train, *extra)[0])
 
-    # cost of the step program itself (trace the inner jit)
-    from stylegan_directions_face_reenactment_tpu.train.steps import (
-        make_paired_step as _mps)
-    # re-lower the inner program via a fresh grads path for cost numbers
-    def step_math(m_arr, a_train, sw, tw, t_img, p_s, ang_s, p_t, ang_t):
-        def loss_fn(at):
-            return fwd(m_arr, at, sw, tw, t_img, p_s, ang_s, p_t, ang_t)
-        l, g_ = jax.value_and_grad(loss_fn)(a_train)
-        return l, g_
+    out = shape_prog(s_img)
+    jax.block_until_ready(out[1])
+    dt_sp = run_singles(lambda: shape_prog(s_img)[1])
 
-    grad_c = jax.jit(step_math).lower(m_arr, a_train, sw, tw, t_img, p_s,
-                                      ang_s, p_t, ang_t).compile()
-    fl_g, by_g = _cost_of(grad_c)
-    dt_g = time_it(lambda *a_: grad_c(*a_), m_arr, a_train, sw, tw, t_img,
-                   p_s, ang_s, p_t, ang_t)
+    # ---- static cost collection — AFTER all timing (ordering note in the
+    # module docstring) ----------------------------------------------------
+    fl_f, by_f = _cost_of(fwd_j.lower(m_arr, a_train, *extra).compile())
+    fl_g, by_g = _cost_of(grad_j.lower(m_arr, a_train, *extra).compile())
 
-    # cache-fill program (first-epoch only; amortized in steady state)
-    dt_sp = None
-    try:
-        dt_sp = time_it(lambda imgs: shape_prog(imgs)[1], s_img)
-    except Exception:
-        pass
-
-    peak = PEAK_BF16 if dtype == "bf16" else PEAK_F32
     print(f"{'program':<22}{'ms':>8}{'GFLOP':>10}{'GB':>8}"
-          f"{'TFLOP/s':>10}{'%peak':>7}")
+          f"{'TFLOP/s':>10}{'%bf16pk':>8}{'GB/s':>8}{'%HBM':>6}")
 
     def row(name, dt, fl, by):
-        tf = fl / dt / 1e12 if dt else 0
-        print(f"{name:<22}{dt*1e3:>8.1f}{fl/1e9:>10.1f}{by/1e9:>8.2f}"
-              f"{tf:>10.1f}{100*fl/dt/peak:>6.1f}%")
+        tf = fl / dt / 1e12 if (dt and fl) else 0
+        gbs = by / dt / 1e9 if (dt and by) else 0
+        flag = "  UNRELIABLE(>peak)" if tf > PEAK_BF16 / 1e12 else ""
+        print(f"{name:<22}{dt*1e3:>8.1f}"
+              f"{(fl or 0)/1e9:>10.1f}{(by or 0)/1e9:>8.2f}"
+              f"{tf:>10.1f}{100*tf*1e12/PEAK_BF16:>7.1f}%"
+              f"{gbs:>8.0f}{100*gbs/HBM_GBPS:>5.0f}%{flag}")
 
     row("fwd loss", dt_f, fl_f, by_f)
     row("fwd+bwd (grads)", dt_g, fl_g, by_g)
     row("full step (ld+Adam)", dt_s, fl_g, by_g)
-    if dt_sp:
-        print(f"{'cache-fill shapes':<22}{dt_sp*1e3:>8.1f}"
-              f"{'—':>10}{'—':>8}")
-    bwd_ms = (dt_g - dt_f) * 1e3
-    print(f"backward share: {bwd_ms:.1f} ms "
-          f"({100 * (dt_g - dt_f) / dt_g:.0f}% of fwd+bwd); "
-          f"optimizer+dispatch overhead: {(dt_s - dt_g)*1e3:.1f} ms")
+    row("cache-fill shapes", dt_sp, None, None)
     print(f"imgs/s full step: {batch / dt_s:.1f}")
 
 
