@@ -243,6 +243,43 @@ def test_paired_step_sharded_matches_single_device(tiny_models, paired_inputs,
 
 
 @pytest.mark.slow
+def test_accum_step_on_mesh(tiny_models, paired_inputs,
+                            paired_single_result):
+    """grad_accum × data parallelism: the accumulated step on a 2-device
+    mesh (batch 8 = 2 microbatches of 4, each sharded 2-way) reproduces
+    the single-device monolithic step's loss and A update — accumulation
+    composes with the mesh path (`steps.make_accum_step` slices sharded
+    extras; microbatch divides the mesh)."""
+    from stylegan_directions_face_reenactment_tpu.train import (
+        make_accum_step, make_paired_step)
+    from stylegan_directions_face_reenactment_tpu.train.steps import split_a
+
+    devs = jax.devices("cpu")
+    mesh = make_mesh(2, devices=devs)
+    args, tx, a0, spec, rng = _paired_step_parts()
+    sw, si, tw, ti = paired_inputs
+    w1, loss1 = paired_single_result
+
+    models_r = type(tiny_models)(*replicate(mesh, tuple(tiny_models)))
+    a_r = replicate(mesh, a0)
+    opt_r = tx.init(split_a(a_r)[0])
+    step = make_accum_step(make_paired_step, models_r, spec, args, tx,
+                           n_micro=2, mesh=mesh)
+    batch = shard_batch(mesh, {"sw": sw, "si": si, "tw": tw, "ti": ti})
+    a2, _, ld2 = step(a_r, opt_r, replicate(mesh, rng), batch["sw"],
+                      batch["si"], batch["tw"], batch["ti"])
+
+    # losses are batch-mean-reduced → mean of microbatch means == full
+    # mean; tolerance covers conv-codegen reassociation (see
+    # test_trainer_e2e.py::test_accum_step_matches_monolithic) — NOTE
+    # this fixture keeps lambda_identity, so per-element A deltas are
+    # only bounded by Adam's ±lr step
+    np.testing.assert_allclose(float(ld2["loss"]), loss1, rtol=5e-4)
+    diff = np.abs(np.asarray(a2["weight"]) - w1)
+    assert diff.max() <= 2.1e-4, diff.max()
+
+
+@pytest.mark.slow
 def test_trainer_paired_on_mesh(tmp_path, mesh, tiny_models):
     """Trainer drives the mesh end to end: replicated zoo, sharded batches,
     finite losses, checkpoint written (VERDICT round-1 item 2)."""
